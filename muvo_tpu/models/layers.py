@@ -1,0 +1,179 @@
+"""Building-block layers (NHWC, flax.linen).
+
+Torch-compatible semantics where it matters for weight conversion:
+``ConvTranspose2dTorch`` reproduces torch's ConvTranspose2d output geometry
+(output = (in-1)*stride - 2*padding + kernel + output_padding), and
+``BasicBlock`` mirrors the timm resnet block used throughout the reference
+(reference: muvo/layers/layers.py:9-66).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    """Conv -> BatchNorm -> optional activation."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Sequence = ((1, 1), (1, 1))
+    use_bias: bool = False
+    act: Optional[Callable] = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel_size, self.strides,
+                    padding=self.padding, use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """timm-style resnet BasicBlock; optional 1x1-stride-2 downsample path."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(y)
+        if self.downsample:
+            # reference BasicBlock hard-codes stride 2 in its downsample conv
+            # (muvo/layers/layers.py:36-44)
+            shortcut = nn.Conv(self.planes, (1, 1), (2, 2), padding="VALID",
+                               use_bias=False, name="ds_conv")(shortcut)
+            shortcut = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, name="ds_bn")(shortcut)
+        return nn.relu(y + shortcut)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv with torch's exact output geometry.
+
+    output = (in - 1) * stride - 2 * padding + kernel + output_padding
+    Implemented via lax.conv_transpose with padding
+    (k - 1 - p, k - 1 - p + output_padding) on each spatial dim.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    output_padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        ph, pw = self.padding
+        oph, opw = self.output_padding
+        pad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        y = jax.lax.conv_transpose(
+            x, kernel, strides=self.strides, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def max_pool_torch(x, window: int, stride: Optional[int] = None, padding: int = 0):
+    """torch-style max_pool2d on NHWC (floor division output size)."""
+    stride = stride or window
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), pads,
+    )
+
+
+def avg_pool_torch(x, window: int, stride: Optional[int] = None):
+    stride = stride or window
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1),
+        "VALID",
+    )
+    return summed / (window * window)
+
+
+def adaptive_avg_pool_1x1(x):
+    """Global average pool (NHWC or N...C) -> (N, C)."""
+    axes = tuple(range(1, x.ndim - 1))
+    return x.mean(axis=axes)
+
+
+def resize_bilinear(x, size: Tuple[int, int]):
+    """Bilinear resize of NHWC (matches torch align_corners=False)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="linear")
+
+
+def upsample2x_bilinear(x):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+
+
+def upsample2x_trilinear(x):
+    n, d, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * d, 2 * h, 2 * w, c), method="linear")
+
+
+def downsample_nearest(x, factor: int):
+    """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC)."""
+    return x[..., ::factor, ::factor, :]
+
+
+def leaky_relu_torch(x, negative_slope=0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class MLP(nn.Module):
+    """Dense stack with activation after every layer except optionally last."""
+
+    features: Sequence[int]
+    act: Callable = nn.relu
+    final_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f)(x)
+            if i < len(self.features) - 1 or self.final_act:
+                x = self.act(x)
+        return x
+
+
+class RestrictionActivation(nn.Module):
+    """tanh squashing into [min_value, max_value]."""
+
+    min_value: float = 0.0
+    max_value: float = 1.0
+
+    def __call__(self, x):
+        scale = (self.max_value - self.min_value) / 2
+        return scale * (jnp.tanh(x) + 1) + self.min_value
