@@ -481,3 +481,48 @@ def get_cfg(args=None, cfg_dict: Optional[Dict] = None) -> CfgNode:
 
 def convert_to_dict(cfg: CfgNode) -> Dict:
     return cfg.convert_to_dict()
+
+
+class StaticConfig:
+    """Immutable, hashable attribute view of a config tree.
+
+    flax.linen converts dict-typed module attributes into FrozenDicts, which
+    breaks attribute access; modules therefore take a StaticConfig. Hash/eq
+    are identity-based (configs are static per model instance).
+    """
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d):
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, key):
+        d = object.__getattribute__(self, "_d")
+        try:
+            v = d[key]
+        except (KeyError, TypeError):
+            raise AttributeError(f"Config key not found: {key}")
+        return StaticConfig(v) if isinstance(v, dict) else v
+
+    def __getitem__(self, key):
+        return self.__getattr__(key)
+
+    def __setattr__(self, key, value):
+        raise AttributeError("StaticConfig is immutable")
+
+    def __hash__(self):
+        return id(object.__getattribute__(self, "_d"))
+
+    def __eq__(self, other):
+        return isinstance(other, StaticConfig) and (
+            object.__getattribute__(self, "_d")
+            is object.__getattribute__(other, "_d")
+        )
+
+    def to_dict(self):
+        d = object.__getattribute__(self, "_d")
+        return d.convert_to_dict() if isinstance(d, CfgNode) else dict(d)
+
+
+def as_static(cfg) -> StaticConfig:
+    return cfg if isinstance(cfg, StaticConfig) else StaticConfig(cfg)

@@ -1,0 +1,94 @@
+"""Host-side batching and double-buffered device prefetch.
+
+The host pipeline decodes frames (PNG/npy + range projection) in background
+threads while the device computes the previous step, and lands batches
+pre-sharded across the mesh 'data' axis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from muvo_tpu.parallel.mesh import batch_sharding
+
+
+class DataLoader:
+    """Minimal shuffling batch loader over a map-style dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 sampler=None, seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sampler = list(sampler) if sampler is not None else None
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(self.sampler)
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx.tolist()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        n_batches = len(self)
+        if self.num_workers > 0:
+            yield from self._iter_threaded(indices, n_batches)
+            return
+        for b in range(n_batches):
+            chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            items = [self.dataset[i] for i in chunk]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def _iter_threaded(self, indices, n_batches):
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    if self.drop_last and len(chunk) < self.batch_size:
+                        break
+                    items = [self.dataset[i] for i in chunk]
+                    q.put({k: np.stack([it[k] for it in items])
+                           for k in items[0]})
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+def device_prefetch(iterator, mesh, size: int = 2):
+    """Move batches to device (sharded over 'data') ahead of compute."""
+    sharding = batch_sharding(mesh)
+    buf = []
+    for batch in iterator:
+        buf.append(jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        ))
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

@@ -1,0 +1,229 @@
+"""Loss functions. Semantics match reference muvo/losses.py (channels-last).
+
+All functions are pure and jit-safe: data-dependent guards from the reference
+(``if mask.sum() == 0``, SemScal's per-class count guards) become masked
+arithmetic with identical values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _cross_entropy(logits, target, weights: Optional[jnp.ndarray]):
+    """Per-element CE. logits (..., C) vs int target (...). Optional class
+    weights (C,) applied like torch's weighted cross_entropy."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    loss = -picked
+    if weights is not None:
+        loss = loss * weights[target.astype(jnp.int32)]
+    return loss
+
+
+def segmentation_loss(prediction, target, use_top_k=False, top_k_ratio=1.0,
+                      weights: Optional[jnp.ndarray] = None):
+    """prediction (b, s, h, w, c) logits; target (b, s, h, w) int.
+
+    Optional top-k hard-pixel mining over the flattened spatial dim.
+    (reference: losses.py:9-50; also covers VoxelLoss for (b,s,x,y,z,c))
+    """
+    b, s = prediction.shape[:2]
+    loss = _cross_entropy(prediction, target, weights)
+    loss = loss.reshape(b, s, -1)
+    if use_top_k:
+        k = int(top_k_ratio * loss.shape[2])
+        loss, _ = jax.lax.top_k(loss, k)
+    return jnp.mean(loss)
+
+
+def regression_loss(prediction, target, norm=1, channel_dim=-1):
+    """L1/L2 summed over the channel dim, then mean. (reference: losses.py:53-71)"""
+    if norm == 1:
+        loss = jnp.abs(prediction - target)
+    elif norm == 2:
+        loss = (prediction - target) ** 2
+    else:
+        raise ValueError(f"Expected norm 1 or 2, got {norm}")
+    loss = jnp.sum(loss, axis=channel_dim, keepdims=True)
+    return jnp.mean(loss)
+
+
+def spatial_regression_loss(prediction, target, norm=1, ignore_index=255,
+                            instance_mask=None):
+    """Masked L1/L2 over (b, s, h, w, c). Mask: first target channel !=
+    ignore_index, or an explicit instance mask. (reference: losses.py:74-99)"""
+    assert prediction.ndim == 5, "Must be a 5D tensor"
+    if instance_mask is not None:
+        mask = instance_mask
+    else:
+        mask = target[..., :1] != ignore_index
+    if norm == 1:
+        loss = jnp.abs(prediction - target)
+    else:
+        loss = (prediction - target) ** 2
+    loss = jnp.sum(loss, axis=-1, keepdims=True)
+    mask = jnp.broadcast_to(mask, loss.shape)
+    denom = jnp.maximum(mask.sum(), 1)
+    return jnp.where(mask, loss, 0.0).sum() / denom
+
+
+def probabilistic_loss(prior_mu, prior_sigma, posterior_mu, posterior_sigma):
+    """KL(posterior || prior); first timestep vs N(0, 1).
+
+    (reference: losses.py:102-126)
+    """
+    posterior_var = posterior_sigma[:, 1:] ** 2
+    prior_var = prior_sigma[:, 1:] ** 2
+    posterior_log_sigma = jnp.log(posterior_sigma[:, 1:])
+    prior_log_sigma = jnp.log(prior_sigma[:, 1:])
+
+    kl_div = (
+        prior_log_sigma - posterior_log_sigma - 0.5
+        + (posterior_var + (posterior_mu[:, 1:] - prior_mu[:, 1:]) ** 2)
+        / (2 * prior_var)
+    )
+    first_kl = (
+        -jnp.log(posterior_sigma[:, :1]) - 0.5
+        + (posterior_sigma[:, :1] ** 2 + posterior_mu[:, :1] ** 2) / 2
+    )
+    kl_div = jnp.concatenate([first_kl, kl_div], axis=1)
+    return jnp.mean(jnp.sum(kl_div, axis=-1))
+
+
+def kl_loss(prior, posterior, alpha=0.75):
+    """KL balancing (Dreamer-v2 style). (reference: losses.py:129-141)"""
+    sg = jax.lax.stop_gradient
+    prior_loss = probabilistic_loss(
+        prior["mu"], prior["sigma"], sg(posterior["mu"]), sg(posterior["sigma"])
+    )
+    posterior_loss = probabilistic_loss(
+        sg(prior["mu"]), sg(prior["sigma"]), posterior["mu"], posterior["sigma"]
+    )
+    return alpha * prior_loss + (1 - alpha) * posterior_loss
+
+
+def _bce_vs_one(p):
+    """F.binary_cross_entropy(p, 1) == -log(p), torch-style clamped."""
+    return jnp.minimum(-jnp.log(jnp.maximum(p, _EPS)), 100.0)
+
+
+def sem_scal_loss(prediction, target, ignore_index=255):
+    """MonoScene scene-class affinity loss, semantic variant, vectorised.
+
+    prediction (b, s, X, Y, Z, C) logits; target (b, s, X, Y, Z) int.
+    (reference: losses.py:191-251)
+    """
+    c = prediction.shape[-1]
+    p = jax.nn.softmax(prediction, axis=-1)
+    p = p.reshape(-1, c)  # (N, C)
+    t = target.reshape(-1)
+    mask = (t != ignore_index)[:, None]  # (N, 1)
+
+    onehot = jax.nn.one_hot(t, c, dtype=p.dtype) * mask  # completion target
+    p_masked = p * mask
+
+    nominator = jnp.sum(p_masked * onehot, axis=0)              # (C,)
+    p_sum = jnp.sum(p_masked, axis=0)
+    target_sum = jnp.sum(onehot, axis=0)
+    non_target_sum = jnp.sum(mask) - target_sum
+
+    precision = nominator / jnp.maximum(p_sum, _EPS)
+    recall = nominator / jnp.maximum(target_sum, _EPS)
+    specificity = jnp.sum((1 - p_masked) * (1 - onehot) * mask, axis=0) / \
+        jnp.maximum(non_target_sum, _EPS)
+
+    class_present = target_sum > 0
+    loss_c = jnp.where(p_sum > 0, _bce_vs_one(precision), 0.0)
+    loss_c += jnp.where(target_sum > 0, _bce_vs_one(recall), 0.0)
+    loss_c += jnp.where(non_target_sum > 0, _bce_vs_one(specificity), 0.0)
+
+    count = jnp.maximum(jnp.sum(class_present.astype(p.dtype)), 1.0)
+    return jnp.sum(jnp.where(class_present, loss_c, 0.0)) / count
+
+
+def geo_scal_loss(prediction, target, ignore_index=255):
+    """MonoScene geometric (occupancy) affinity loss.
+
+    (reference: losses.py:254-287)
+    """
+    p = jax.nn.softmax(prediction, axis=-1)
+    empty_probs = p[..., 0].reshape(-1)
+    nonempty_probs = 1 - empty_probs
+    t = target.reshape(-1)
+    mask = t != ignore_index
+    nonempty_target = ((t != 0) & mask).astype(p.dtype)
+    m = mask.astype(p.dtype)
+
+    intersection = jnp.sum(nonempty_target * nonempty_probs * m)
+    precision = intersection / jnp.maximum(jnp.sum(nonempty_probs * m), _EPS)
+    recall = intersection / jnp.maximum(jnp.sum(nonempty_target), _EPS)
+    spec = jnp.sum((m - nonempty_target) * empty_probs * m) / \
+        jnp.maximum(jnp.sum(m - nonempty_target), _EPS)
+    return _bce_vs_one(precision) + _bce_vs_one(recall) + _bce_vs_one(spec)
+
+
+# ---------------------------------------------------------------------------
+def _gaussian_window(window_size=11, sigma=1.5):
+    x = jnp.arange(window_size, dtype=jnp.float32)
+    g = jnp.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return g[:, None] @ g[None, :]  # (k, k)
+
+
+def ssim(prediction, target, channel=3, window_size=11, sigma=1.5, L=1.0,
+         non_negative=False):
+    """SSIM over (b, s, h, w, c); returns per-image mean SSIM averaged.
+
+    (reference: losses.py:292-348; VALID padding, per reference padd=0)
+    """
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+    b, s = prediction.shape[:2]
+    pred = prediction.reshape((b * s,) + prediction.shape[2:])
+    targ = target.reshape((b * s,) + target.shape[2:])
+
+    win = _gaussian_window(window_size, sigma)[:, :, None, None]
+    win = jnp.tile(win, (1, 1, 1, channel))  # depthwise
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, win, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=channel,
+        )
+
+    mu1, mu2 = filt(targ), filt(pred)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filt(targ * targ) - mu1_sq
+    sigma2_sq = filt(pred * pred) - mu2_sq
+    sigma12 = filt(targ * pred) - mu1_mu2
+
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    per_image = ssim_map.mean(axis=(1, 2, 3))
+    if non_negative:
+        per_image = jnp.maximum(per_image, 0.0)
+    return per_image.mean()
+
+
+def chamfer_distance_loss(prediction, target):
+    """Symmetric point-to-point Chamfer distance over (b, s, n, d).
+
+    (reference: losses.py:352-367)
+    """
+    b, s, n, d = prediction.shape
+    pred = prediction.reshape(b * s, n, d).astype(jnp.float32)
+    targ = target.reshape(b * s, n, d).astype(jnp.float32)
+    diff = pred[:, :, None, :] - targ[:, None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff ** 2, axis=-1), _EPS))
+    dl = dist.min(axis=1)
+    dr = dist.min(axis=2)
+    return (dl.mean(axis=1) + dr.mean(axis=1)).mean()

@@ -1,0 +1,146 @@
+"""Lift-Splat-Shoot frustum pooling, TPU-native.
+
+Reference (muvo/models/frustum_pooling.py) sorts points by voxel rank and
+dedups with a cumsum trick — a workaround for slow CUDA scatter-add. On TPU
+the natural formulation is a dense ``segment_sum`` over static-shape voxel
+indices: no sort, no dynamic shapes, fully differentiable, and XLA lowers it
+to an efficient one-pass scatter.
+
+The reference's "sparse" top-k depth-bin path zeroes the contribution of all
+but the k most likely depth bins per pixel; here that is a multiplicative
+mask (identical output, dense compute).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muvo_tpu.geometry.camera import bev_params_to_intrinsics, intrinsics_inverse
+
+
+def gen_dx_bx(size, scale, offsetx):
+    xbound = [-size[0] * scale / 2 - offsetx * scale,
+              size[0] * scale / 2 - offsetx * scale, scale]
+    ybound = [-size[1] * scale / 2, size[1] * scale / 2, scale]
+    zbound = [-10.0, 10.0, 20.0]
+    rows = [xbound, ybound, zbound]
+    dx = np.array([r[2] for r in rows], np.float32)
+    bx = np.array([r[0] + r[2] / 2.0 for r in rows], np.float32)
+    nx = np.array([round((r[1] - r[0]) / r[2]) for r in rows], np.int64)
+    return dx, bx, nx
+
+
+class FrustumPooling:
+    """Pools camera frustum features into a BEV grid.
+
+    Args:
+        size: (width, height) of the BEV grid in px
+        scale: size of a BEV pixel in metres
+        offsetx: ego-car forward offset from BEV centre, px
+        dbound: (min, max, step) depth bins
+        downsample: stride of the image feature map vs the input image
+    """
+
+    def __init__(self, size, scale, offsetx, dbound, downsample,
+                 sparse: bool = True, sparse_count: int = 10):
+        self.bev_intrinsics = jnp.asarray(bev_params_to_intrinsics(size, scale, offsetx))
+        dx, bx, nx = gen_dx_bx(size, scale, offsetx)
+        self.dx, self.bx = jnp.asarray(dx), jnp.asarray(bx)
+        self.nx = nx  # static python ints for shapes
+        self.dbound = dbound
+        self.ds = jnp.arange(dbound[0], dbound[1], dbound[2], dtype=jnp.float32)
+        self.D = int(self.ds.shape[0])
+        self.downsample = downsample
+        self.sparse = sparse
+        self.sparse_count = sparse_count
+
+    def frustum(self, fh: int, fw: int) -> jnp.ndarray:
+        """(D, fH, fW, 3) grid of (u, v, depth) image-plane points."""
+        ogf_h, ogf_w = fh * self.downsample, fw * self.downsample
+        ds = jnp.broadcast_to(self.ds[:, None, None], (self.D, fh, fw))
+        xs = jnp.broadcast_to(
+            jnp.linspace(0, ogf_w - 1, fw)[None, None, :], (self.D, fh, fw)
+        )
+        ys = jnp.broadcast_to(
+            jnp.linspace(0, ogf_h - 1, fh)[None, :, None], (self.D, fh, fw)
+        )
+        return jnp.stack([xs, ys, ds], axis=-1).astype(jnp.float32)
+
+    def get_geometry(self, frustum, rots, trans, intrins):
+        """Frustum image points -> ego-frame xyz. Returns (B, D, fH, fW, 3)."""
+        pts = jnp.concatenate(
+            [frustum[..., :2] * frustum[..., 2:3], frustum[..., 2:3]], axis=-1
+        )
+        combine = rots @ intrinsics_inverse(intrins)  # (B, 3, 3)
+        pts = jnp.einsum("bij,dhwj->bdhwi", combine, pts)
+        return pts + trans[:, None, None, None, :]
+
+    def depth_mask(self, depth):
+        """Top-k depth-bin mask. depth: (B, fH, fW, D) softmax probs."""
+        if not self.sparse:
+            return jnp.ones_like(depth, dtype=bool)
+        kth = jnp.sort(depth, axis=-1)[..., -self.sparse_count][..., None]
+        return depth >= kth
+
+    def __call__(self, x, depth, intrinsics, pose):
+        """Pool frustum features into BEV.
+
+        x:     (B, fH, fW, C) image features (NHWC)
+        depth: (B, fH, fW, D) depth distribution (softmax over D)
+        intrinsics: (B, 3, 3); pose: (B, 4, 4) camera->ego.
+        Returns (B, ny, nx, C * nz) BEV features.
+        """
+        b, fh, fw, c = x.shape
+        nx0, nx1, nx2 = int(self.nx[0]), int(self.nx[1]), int(self.nx[2])
+
+        mask = self.depth_mask(depth)
+        weights = depth * mask.astype(depth.dtype)  # (B, fH, fW, D)
+
+        frustum = self.frustum(fh, fw)
+        rots = pose[:, :3, :3]
+        trans = pose[:, :3, 3]
+        geom = self.get_geometry(frustum, rots, trans, intrinsics)  # (B,D,fh,fw,3)
+
+        # world -> bev voxel coords
+        gx = geom[..., 0] * self.bev_intrinsics[0, 0] + self.bev_intrinsics[0, 2]
+        gy = geom[..., 1] * self.bev_intrinsics[1, 1] + self.bev_intrinsics[1, 2]
+        gz = (geom[..., 2] - self.bx[2] + self.dx[2] / 2.0) / self.dx[2]
+        ix = jnp.floor(gx).astype(jnp.int32)
+        iy = jnp.floor(gy).astype(jnp.int32)
+        iz = jnp.floor(gz).astype(jnp.int32)
+
+        valid = (
+            (ix >= 0) & (ix < nx0) & (iy >= 0) & (iy < nx1) & (iz >= 0) & (iz < nx2)
+        )  # (B, D, fh, fw)
+
+        n_vox = nx2 * nx1 * nx0
+        flat_idx = (iz * nx1 + iy) * nx0 + ix
+        flat_idx = jnp.where(valid, flat_idx, n_vox)  # dump invalid in slot n_vox
+
+        # weighted features per frustum point: depth prob x image feature
+        w = jnp.moveaxis(weights, -1, 1)  # (B, D, fh, fw)
+        feat = w[..., None] * x[:, None]  # (B, D, fh, fw, C)
+
+        def pool_one(idx_b, feat_b):
+            pooled = jax.ops.segment_sum(
+                feat_b.reshape(-1, c), idx_b.reshape(-1), num_segments=n_vox + 1
+            )
+            return pooled[:n_vox]
+
+        pooled = jax.vmap(pool_one)(flat_idx, feat)  # (B, n_vox, C)
+        bev = pooled.reshape(b, nx2, nx1, nx0, c)
+        # collapse the z dimension into channels (nz == 1 by default)
+        bev = jnp.moveaxis(bev, 1, -2).reshape(b, nx1, nx0, nx2 * c)
+        return bev.astype(x.dtype)
+
+    def get_depth_map(self, depth):
+        """Depth distribution (B, fH, fW, D) -> expected depth, full-res."""
+        d = jnp.sum(self.ds * depth, axis=-1, keepdims=True)
+        b, fh, fw, _ = d.shape
+        return jax.image.resize(
+            d, (b, fh * self.downsample, fw * self.downsample, 1), method="linear"
+        )

@@ -1,0 +1,294 @@
+"""Latent-conditioned (StyleGAN-ish) decoders: BEV, image, and 3-D voxel.
+
+Semantics match reference muvo/models/common.py:133-632: a learned constant
+tensor is repeatedly convolved/upsampled with adaptive instance normalisation
+driven by the latent "style" vector w, with multi-scale heads at downsample
+factors 4/2/1. Output dict keys match the reference exactly
+(``bev_segmentation_1``, ``rgb_2``, ``voxel_4``, ...).
+
+Layout: NHWC for 2-D, NDHWC for 3-D (the reference's (C, X, Y, Z) becomes
+(X, Y, Z, C)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from muvo_tpu.models.layers import (
+    ConvTranspose2dTorch,
+    leaky_relu_torch,
+    upsample2x_bilinear,
+    upsample2x_trilinear,
+)
+
+
+class AdaptiveInstanceNorm(nn.Module):
+    """Instance norm over spatial dims, then scale/bias from the style."""
+
+    out_channels: int
+    epsilon: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x, w):
+        spatial = tuple(range(1, x.ndim - 1))
+        mean = x.mean(axis=spatial, keepdims=True)
+        x = x - mean
+        std = jnp.sqrt(jnp.mean(x ** 2, axis=spatial, keepdims=True) + self.epsilon)
+        x = x / std
+
+        style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
+        style = style.reshape(style.shape[:1] + (1,) * len(spatial) + (-1,))
+        scale, bias = jnp.split(style, 2, axis=-1)
+        return scale * x + bias
+
+
+class ConvInstanceNorm(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, w):
+        kernel = (3,) * (x.ndim - 2)
+        x = nn.Conv(self.out_channels, kernel, padding="SAME", name="conv")(x)
+        x = leaky_relu_torch(x, 0.2)
+        return AdaptiveInstanceNorm(self.out_channels, name="adain")(x, w)
+
+
+class DecoderBlock(nn.Module):
+    """(optional 2x upsample) -> ConvInstanceNorm x2. Works for 2-D and 3-D."""
+
+    out_channels: int
+    upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, w):
+        if self.upsample:
+            x = upsample2x_bilinear(x) if x.ndim == 4 else upsample2x_trilinear(x)
+        x = ConvInstanceNorm(self.out_channels, name="conv1")(x, w)
+        return ConvInstanceNorm(self.out_channels, name="conv2")(x, w)
+
+
+# ---------------------------------------------------------------------------
+# Output heads (key names match reference common.py:249-367).
+# ---------------------------------------------------------------------------
+class SegmentationHead(nn.Module):
+    n_classes: int
+    downsample_factor: int
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        k = self.downsample_factor
+        return {
+            f"bev_segmentation_{k}": nn.Conv(self.n_classes, (1, 1), name="seg")(x),
+            f"bev_instance_offset_{k}": nn.Conv(2, (1, 1), name="offset")(x),
+            f"bev_instance_center_{k}": jax.nn.sigmoid(
+                nn.Conv(1, (1, 1), name="center")(x)
+            ),
+        }
+
+
+class _SingleConvHead(nn.Module):
+    n_classes: int
+    downsample_factor: int
+    key_prefix: str = "rgb"
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        kernel = (1,) * (x.ndim - 2)
+        out = nn.Conv(self.n_classes, kernel, name="head")(x)
+        return {f"{self.key_prefix}_{self.downsample_factor}": out}
+
+
+HEAD_KEY_PREFIX = {
+    "rgb": "rgb",
+    "bev": None,  # SegmentationHead
+    "depth": "depth",
+    "sem_image": "semantic_image",
+    "lidar_re": "lidar_reconstruction",
+    "lidar_seg": "lidar_segmentation",
+    "voxel": "voxel",
+}
+
+
+def make_head(head: str, n_classes: int, downsample_factor: int, name: str):
+    if head == "bev":
+        return SegmentationHead(n_classes, downsample_factor, name=name)
+    prefix = HEAD_KEY_PREFIX.get(head, "rgb")
+    return _SingleConvHead(n_classes, downsample_factor, prefix, name=name)
+
+
+# ---------------------------------------------------------------------------
+class BevDecoder(nn.Module):
+    """Constant 512x3x3 -> AdaIN conv stack -> 192x192 multi-scale heads.
+
+    (reference: common.py:370-424)
+    """
+
+    latent_n_channels: int
+    semantic_n_channels: int
+    constant_size: Tuple[int, int] = (3, 3)
+    head: str = "bev"
+
+    @nn.compact
+    def __call__(self, w) -> Dict[str, jnp.ndarray]:
+        n = 512
+        b = w.shape[0]
+        const = self.param(
+            "constant_tensor", nn.initializers.normal(1.0),
+            (*self.constant_size, n),
+        )
+        x = jnp.broadcast_to(const[None], (b, *self.constant_size, n))
+
+        x = AdaptiveInstanceNorm(n, name="first_norm")(x, w)
+        x = ConvInstanceNorm(n, name="first_conv")(x, w)
+        for i in range(3):
+            x = DecoderBlock(n, upsample=True, name=f"middle_{i}")(x, w)
+
+        x = DecoderBlock(256, upsample=True, name="conv1")(x, w)
+        out4 = make_head(self.head, self.semantic_n_channels, 4, "head_4")(x)
+        x = DecoderBlock(128, upsample=True, name="conv2")(x, w)
+        out2 = make_head(self.head, self.semantic_n_channels, 2, "head_2")(x)
+        x = DecoderBlock(64, upsample=True, name="conv3")(x, w)
+        out1 = make_head(self.head, self.semantic_n_channels, 1, "head_1")(x)
+        return {**out4, **out2, **out1}
+
+
+class ConvDecoder(nn.Module):
+    """Dense -> transpose-conv pyramid -> multi-scale heads.
+
+    constant_size (5,13) decodes to 320x832 (RGB crop); (1,16) to 64x1024
+    (LiDAR range view). (reference: common.py:549-632)
+    """
+
+    latent_n_channels: int
+    out_channels: int
+    constant_size: Tuple[int, int] = (5, 13)
+    head: str = "rgb"
+    mlp_layers: int = 0
+
+    @nn.compact
+    def __call__(self, w) -> Dict[str, jnp.ndarray]:
+        n = 512
+        x = nn.Dense(n, name="linear")(w)
+        if self.mlp_layers > 0:
+            for i in range(self.mlp_layers):
+                x = nn.LayerNorm(epsilon=1e-3, name=f"mlp_norm{i}")(x)
+                x = nn.elu(x)
+                if i < self.mlp_layers - 1:
+                    x = nn.Dense(n, name=f"mlp_fc{i}")(x)
+        x = x[:, None, None, :]  # (B, 1, 1, n)
+
+        x = ConvTranspose2dTorch(n, self.constant_size, name="pre0")(x)
+        x = nn.elu(x)
+        x = ConvTranspose2dTorch(n, (5, 5), (2, 2), (2, 2), (1, 1), name="pre1")(x)
+        x = nn.elu(x)
+        x = ConvTranspose2dTorch(n, (5, 5), (2, 2), (2, 2), (1, 1), name="pre2")(x)
+        x = nn.elu(x)
+        x = ConvTranspose2dTorch(n, (6, 6), (2, 2), (2, 2), name="pre3")(x)
+        x = nn.elu(x)
+
+        x = ConvTranspose2dTorch(256, (6, 6), (2, 2), (2, 2), name="trans_conv1")(x)
+        x = nn.elu(x)
+        out4 = make_head(self.head, self.out_channels, 4, "head_4")(x)
+        x = ConvTranspose2dTorch(128, (6, 6), (2, 2), (2, 2), name="trans_conv2")(x)
+        x = nn.elu(x)
+        out2 = make_head(self.head, self.out_channels, 2, "head_2")(x)
+        x = ConvTranspose2dTorch(64, (6, 6), (2, 2), (2, 2), name="trans_conv3")(x)
+        x = nn.elu(x)
+        out1 = make_head(self.head, self.out_channels, 1, "head_1")(x)
+        return {**out4, **out2, **out1}
+
+
+class VoxelDecoder(nn.Module):
+    """3-D AdaIN deconv pyramid to (X, Y, Z) = (192, 192, 64).
+
+    feature_channels follows VOXEL_SEG.DIMENSION (64 in the flagship config),
+    so the stack runs 128 -> 64 -> 32 -> 16 -> 8 channels.
+    (reference: common.py:498-546, VoxelDecoder1)
+    """
+
+    latent_n_channels: int
+    semantic_n_channels: int
+    feature_channels: int = 512
+    constant_size: Tuple[int, int, int] = (3, 3, 1)
+
+    @nn.compact
+    def __call__(self, w) -> Dict[str, jnp.ndarray]:
+        n = self.feature_channels
+        b = w.shape[0]
+        const = self.param(
+            "constant_tensor", nn.initializers.normal(1.0),
+            (*self.constant_size, 2 * n),
+        )
+        x = jnp.broadcast_to(const[None], (b, *self.constant_size, 2 * n))
+
+        x = AdaptiveInstanceNorm(2 * n, name="first_norm")(x, w)
+        x = ConvInstanceNorm(n, name="first_conv")(x, w)
+        for i in range(3):
+            x = DecoderBlock(n, upsample=True, name=f"middle_{i}")(x, w)
+
+        x = DecoderBlock(n // 2, upsample=True, name="conv1")(x, w)
+        out4 = make_head("voxel", self.semantic_n_channels, 4, "head_4")(x)
+        x = DecoderBlock(n // 4, upsample=True, name="conv2")(x, w)
+        out2 = make_head("voxel", self.semantic_n_channels, 2, "head_2")(x)
+        x = DecoderBlock(n // 8, upsample=True, name="conv3")(x, w)
+        out1 = make_head("voxel", self.semantic_n_channels, 1, "head_1")(x)
+        return {**out4, **out2, **out1}
+
+
+class VoxelDecoderScale(nn.Module):
+    """Tri-plane (xy/xz/yz) attention fusion into a dense 3-D grid.
+
+    (reference: common.py:427-478, VoxelDecoderScale)
+    """
+
+    n_classes: int
+    feature_channels: int = 512
+
+    @nn.compact
+    def __call__(self, feats) -> jnp.ndarray:
+        xy, xz, yz = feats  # NHWC planes: (B,X,Y,C), (B,X,Z,C), (B,Y,Z,C)
+        w_xy = nn.Conv(1, (1, 1), name="weight_xy")(xy)
+        w_xz = nn.Conv(1, (1, 1), name="weight_xz")(xz)
+        w_yz = nn.Conv(1, (1, 1), name="weight_yz")(yz)
+
+        def expand(t, axis):
+            return jnp.expand_dims(t, axis)
+
+        f_xy = expand(xy, 3)   # (B, X, Y, 1, C)
+        f_xz = expand(xz, 2)   # (B, X, 1, Z, C)
+        f_yz = expand(yz, 1)   # (B, 1, Y, Z, C)
+        g_xy = expand(w_xy, 3)
+        g_xz = expand(w_xz, 2)
+        g_yz = expand(w_yz, 1)
+
+        def att(t1, w1, t2, w2):
+            m = jnp.maximum(w1, w2)
+            e1, e2 = jnp.exp(w1 - m), jnp.exp(w2 - m)
+            z = e1 + e2
+            return t1 * (e1 / z) + t2 * (e2 / z)
+
+        fused = att(f_xy, g_xy, f_xz, g_xz) + att(f_xy, g_xy, f_yz, g_yz)
+        x = nn.Conv(self.feature_channels, (3, 3, 3), padding="SAME",
+                    name="cls1")(fused)
+        x = nn.softplus(x)
+        return nn.Conv(self.n_classes, (1, 1, 1), name="cls2")(x)
+
+
+class TriPlaneVoxelDecoder(nn.Module):
+    """Multi-scale tri-plane voxel decoder (reference VoxelDecoder0)."""
+
+    n_classes: int
+    feature_channels: int = 512
+
+    @nn.compact
+    def __call__(self, xy, xz, yz) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for scale in (1, 2, 4):
+            out[f"voxel_{scale}"] = VoxelDecoderScale(
+                self.n_classes, self.feature_channels, name=f"decoder_{scale}"
+            )((xy[f"rgb_{scale}"], xz[f"rgb_{scale}"], yz[f"rgb_{scale}"]))
+        return out

@@ -1,0 +1,164 @@
+"""World-model trainer: jitted SPMD train/eval steps over a device mesh.
+
+TPU-native counterpart of the reference Lightning module
+(reference: muvo/trainer.py:25-424): one compiled train step runs on-device
+preprocessing + augmentation, the model forward, all losses, and the optimizer
+update. Batches shard over the mesh 'data' axis; XLA inserts the gradient
+all-reduce over ICI. Mixed precision is bf16 compute / fp32 params+optimizer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from muvo_tpu.config import as_static
+from muvo_tpu.models.preprocess import PreProcess
+from muvo_tpu.models.world_model import MuvoWorldModel
+from muvo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from muvo_tpu.training.objectives import compute_loss, reduce_loss
+from muvo_tpu.training.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class WorldModelTrainer:
+    def __init__(self, cfg, mesh: Optional[Mesh] = None,
+                 compute_dtype=jnp.float32):
+        self.cfg = cfg
+        self.static_cfg = as_static(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.compute_dtype = compute_dtype
+        self.model = MuvoWorldModel(self.static_cfg)
+        self.preprocess = PreProcess(cfg)
+        self.rf = cfg.RECEPTIVE_FIELD
+        self.fh = cfg.FUTURE_HORIZON
+        self._tx = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: Dict, seed: int = 42) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(seed)}
+        pb = jax.eval_shape(
+            lambda b: self.preprocess(b, training=False), example_batch
+        )
+        pb = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), pb
+        )
+        variables = jax.jit(
+            self.model.init, static_argnames=("training",)
+        )(rngs, pb, training=False, rng=jax.random.PRNGKey(0))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._tx = make_optimizer(self.cfg, params)
+        opt_state = self._tx.init(params)
+        state = TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
+                           opt_state)
+        return jax.device_put(state, replicated(self.mesh))
+
+    @property
+    def tx(self):
+        return self._tx
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, batch, rng, training: bool):
+        rng_aug, rng_drop, rng_model = jax.random.split(rng, 3)
+        pb = self.preprocess(batch, training=training, rng=rng_aug)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if training:
+            (output, _), mutated = self.model.apply(
+                variables, pb, training=True, rng=rng_model,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            output, _ = self.model.apply(
+                variables, pb, training=False, rng=rng_model
+            )
+            new_stats = batch_stats
+        losses = compute_loss(self.cfg, pb, output)
+        return reduce_loss(losses), (losses, new_stats)
+
+    def make_train_step(self, donate: bool = True):
+        tx = self._tx
+        assert tx is not None, "call init_state first"
+
+        def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+            rng = jax.random.fold_in(rng, state.step)
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (total, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, True
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(state.step + 1, new_params, new_stats,
+                                   new_opt_state)
+            metrics = {"loss": total, **losses}
+            return new_state, metrics
+
+        out_shardings = (replicated(self.mesh), replicated(self.mesh))
+        in_shardings = (replicated(self.mesh), batch_sharding(self.mesh),
+                        replicated(self.mesh))
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=in_shardings,
+            out_shardings=out_shardings,
+            donate_argnums=(0,) if donate else (),
+        )
+        return self._train_step
+
+    def make_eval_step(self):
+        """Eval: observe RF frames, compute recon losses, imagine FH frames.
+
+        Mirrors reference shared_step in val/test mode (muvo/trainer.py:223-249).
+        """
+
+        def eval_step(state: TrainState, batch: Dict, rng) -> Dict:
+            r1, r2 = jax.random.split(rng)
+            pb = self.preprocess(batch, training=False)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            batch_rf = {k: v[:, : self.rf] for k, v in pb.items()}
+            batch_fh = {k: v[:, self.rf:] for k, v in pb.items()}
+            output, state_dict = self.model.apply(
+                variables, batch_rf, training=False, rng=r1
+            )
+            losses = compute_loss(self.cfg, batch_rf, output)
+            out = {"losses": losses, "output": output}
+            if self.cfg.MODEL.TRANSITION.ENABLED and self.fh > 0:
+                imagine_batch = {
+                    "hidden_state": state_dict["posterior"]["hidden_state"][:, -1],
+                    "sample": state_dict["posterior"]["sample"][:, -1],
+                    "throttle_brake": batch_fh["throttle_brake"],
+                    "steering": batch_fh["steering"],
+                }
+                output_imagine = self.model.apply(
+                    variables, imagine_batch, predict_action=False,
+                    future_horizon=self.fh, rng=r2,
+                    method=self.model.imagine,
+                )
+                out["losses_imagine"] = compute_loss(
+                    self.cfg, batch_fh, output_imagine
+                )
+                out["output_imagine"] = output_imagine
+            return out
+
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh),
+                          replicated(self.mesh)),
+        )
+        return self._eval_step

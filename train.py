@@ -1,0 +1,109 @@
+"""Training entry point.
+
+TPU-native counterpart of the reference train.py: builds the config, data
+module, trainer; runs the jitted SPMD train loop with periodic validation,
+checkpointing and metric logging.
+
+Usage:
+    python train.py --config-file muvo_tpu/configs/muvo.yml [KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import time
+
+import jax
+import numpy as np
+
+from muvo_tpu.config import get_cfg, get_parser
+from muvo_tpu.data.dataset import make_dataset
+from muvo_tpu.data.loader import DataLoader, device_prefetch
+from muvo_tpu.parallel.mesh import make_mesh
+from muvo_tpu.training.checkpoint import CheckpointManager
+from muvo_tpu.training.logging import MetricsLogger, StepTimer
+from muvo_tpu.training.trainer import WorldModelTrainer
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = get_cfg(args)
+
+    run_name = time.strftime("%d%B%Yat%H_%M_%S") + "_" + socket.gethostname() + \
+        "_" + cfg.TAG.replace(" ", "_").replace(",", "")[:48]
+    log_dir = os.path.join(cfg.LOG_DIR, run_name)
+    logger = MetricsLogger(log_dir)
+    print(f"Logging to {log_dir}; devices: {jax.devices()}")
+
+    mesh = make_mesh()
+    trainer = WorldModelTrainer(cfg, mesh=mesh)
+
+    seq_len = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
+    train_ds = make_dataset(cfg, "train", seq_len)
+    val_ds = make_dataset(cfg, "val0", seq_len)
+    train_loader = DataLoader(train_ds, cfg.BATCHSIZE, shuffle=True,
+                              num_workers=min(cfg.N_WORKERS, 1))
+    val_loader = DataLoader(val_ds, cfg.BATCHSIZE, shuffle=False,
+                            sampler=range(0, len(val_ds),
+                                          max(1, len(val_ds) // 8)))
+
+    example = next(iter(DataLoader(train_ds, cfg.BATCHSIZE, shuffle=False)))
+    state = trainer.init_state(example)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"Model parameters: {n_params / 1e6:.2f}M")
+
+    ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    restored = ckpt.restore(template=state)
+    start_step = 0
+    if restored is not None:
+        from muvo_tpu.training.trainer import TrainState
+
+        state = TrainState(**restored["state"])
+        start_step = int(state.step)
+        print(f"Resumed from step {start_step}")
+
+    train_step = trainer.make_train_step()
+    eval_step = trainer.make_eval_step()
+    rng = jax.random.PRNGKey(42)
+
+    timer = StepTimer()
+    step = start_step
+    frames_per_step = cfg.BATCHSIZE * seq_len
+    while step < cfg.STEPS:
+        for batch in device_prefetch(iter(train_loader), mesh):
+            if step >= cfg.STEPS:
+                break
+            state, metrics = train_step(state, batch, rng)
+            step += 1
+            timer.tick()
+
+            if step % cfg.LOGGING_INTERVAL == 0 or step <= 2:
+                scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                scalars["fps_per_chip"] = timer.frames_per_second(
+                    frames_per_step, jax.device_count()
+                )
+                logger.log(step, scalars, prefix="train")
+                print(f"step {step}: loss={scalars['loss']:.4f} "
+                      f"fps/chip={scalars['fps_per_chip']:.2f}")
+
+            if step % cfg.VAL_CHECK_INTERVAL == 0:
+                val_metrics = {}
+                for i, vbatch in enumerate(device_prefetch(iter(val_loader), mesh)):
+                    if i >= cfg.LIMIT_VAL_BATCHES:
+                        break
+                    out = eval_step(state, vbatch, rng)
+                    for k, v in out["losses"].items():
+                        val_metrics[k] = val_metrics.get(k, 0) + float(np.asarray(v))
+                logger.log(step, val_metrics, prefix="val0")
+                ckpt.save(step, jax.device_get(state),
+                          cfg_dict=cfg.convert_to_dict())
+
+    ckpt.save(step, jax.device_get(state), cfg_dict=cfg.convert_to_dict())
+    ckpt.wait()
+    logger.close()
+    print(f"Training complete at step {step}.")
+
+
+if __name__ == "__main__":
+    main()
