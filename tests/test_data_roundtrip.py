@@ -1,0 +1,113 @@
+"""Integration: DataWriter -> on-disk layout -> CarlaDataset load.
+
+Synthesises CARLA-like per-tick observations, writes an episode through the
+DataWriter, then reads it back through CarlaDataset and checks content.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from muvo_tpu.data.dataset import CarlaDataset
+from muvo_tpu.data.synthetic import tiny_test_cfg
+from muvo_tpu.sim.data_writer import DataWriter, MIN_VALID_STEPS
+
+rng = np.random.RandomState(11)
+
+
+def make_obs(h=96, w=160):
+    masks = np.zeros((12, 64, 64), np.uint8)
+    masks[0] = 255  # road everywhere
+    masks[1, 20:40, 30:34] = 255  # route
+    masks[-1, 10, 10] = 80  # green light
+    n_pts = 500
+    return {
+        "ego": {
+            "central_rgb": {"data": rng.randint(0, 255, (h, w, 3), dtype=np.uint8)},
+            "depth_semantic": {
+                "data": rng.randint(0, 255, (h, w, 4), dtype=np.uint8)
+            },
+            "gnss": {
+                "gnss": np.zeros(3), "target_gps": np.zeros(3),
+                "imu": np.zeros(7), "command": np.array([4]),
+                "target_gps_next": np.zeros(3), "command_next": np.array([4]),
+            },
+            "speed": {"forward_speed": np.array([5.0])},
+            "route_plan": None,
+            "birdview": {"masks": masks},
+            "lidar_points_semantic": {
+                "data": {
+                    "points_xyz": rng.uniform(-30, 30, (n_pts, 3)).astype(np.float32),
+                    "ObjTag": rng.randint(0, 22, n_pts).astype(np.uint8),
+                    "ObjIdx": np.zeros(n_pts, np.uint32),
+                    "CosAngle": np.ones(n_pts, np.float32),
+                }
+            },
+        }
+    }
+
+
+def write_episode(run_dir, n_steps):
+    writer = DataWriter(run_dir, "ego", run_info={"town": "Town01"})
+    for t in range(n_steps):
+        sup = {
+            "ego": {
+                "action": np.array([0.5, 0.1, 0.0], np.float32),
+                "action_mu": np.zeros(2, np.float32),
+                "action_sigma": np.ones(2, np.float32),
+                "value": np.array([0.3], np.float32),
+                "features": np.zeros(4, np.float32),
+                "speed": np.array([5.0], np.float32),
+            }
+        }
+        writer.write({"step": t}, make_obs(), sup, {"ego": 1.0})
+    return writer
+
+
+def test_roundtrip(tmp_path):
+    cfg = tiny_test_cfg()
+    cfg.VOXEL_SEG.ENABLED = False  # voxels come from the offline tool
+    cfg.SEMANTIC_SEG.ENABLED = False
+    cfg.DATASET.FILTER_BEGINNING_OF_RUN_SEC = 0.0
+    cfg.DATASET.FILTER_NORM_REWARD = 0.6
+
+    run_dir = tmp_path / "trainval" / "train" / "Town01" / "0000"
+    writer = write_episode(str(run_dir), 8)
+    valid = writer.close({"traffic_rule_violated": False, "blocked": False,
+                          "route_deviation": False}, remove_final_steps=True)
+    assert valid
+    assert (run_dir / "pd_dataframe.pkl").exists()
+    assert (run_dir / "image" / "image_000000000.png").exists()
+    assert (run_dir / "points_semantic").exists()
+
+    # The DataWriter stores the episode-level semantic cloud per frame as the
+    # raw dict; the dataset loader expects the per-frame layout directly.
+    ds = CarlaDataset(cfg, mode="train", sequence_length=2,
+                      dataset_root=str(tmp_path))
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["image"].shape == (2, 96, 160, 3)
+    assert item["route_map"].shape[0] == 2
+    assert item["range_view_pcd_xyzd"].shape == (2, 64, 128, 4)
+    assert item["throttle_brake"].shape == (2, 1)
+    assert np.isclose(item["throttle_brake"][0, 0], 0.5)
+    assert np.isclose(item["steering"][0, 0], 0.1)
+
+
+def test_invalid_episode_trimming(tmp_path):
+    run_dir = tmp_path / "run"
+    writer = write_episode(str(run_dir), 5)
+    # traffic violation with < MIN_VALID_STEPS left: invalid, nothing saved
+    valid = writer.close({"traffic_rule_violated": True, "blocked": False,
+                          "route_deviation": False}, remove_final_steps=True)
+    assert not valid
+    assert not (run_dir / "pd_dataframe.pkl").exists()
+
+
+def test_route_deviation_invalidates(tmp_path):
+    run_dir = tmp_path / "run"
+    writer = write_episode(str(run_dir), 4)
+    valid = writer.close({"traffic_rule_violated": False, "blocked": False,
+                          "route_deviation": True}, remove_final_steps=False)
+    assert not valid
