@@ -38,17 +38,19 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
         if train:
-            m = mask[:, None].astype(x.dtype)
+            x32 = x.astype(jnp.float32)
+            m = mask[:, None].astype(jnp.float32)
             cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (x * m).sum(axis=0) / cnt
-            var = (((x - mean) ** 2) * m).sum(axis=0) / cnt
+            mean = (x32 * m).sum(axis=0) / cnt
+            var = (((x32 - mean) ** 2) * m).sum(axis=0) / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = ((x.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         return y * scale + bias
 
 

@@ -35,10 +35,13 @@ class AdaptiveInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x, w):
         spatial = tuple(range(1, x.ndim - 1))
-        mean = x.mean(axis=spatial, keepdims=True)
-        x = x - mean
-        std = jnp.sqrt(jnp.mean(x ** 2, axis=spatial, keepdims=True) + self.epsilon)
-        x = x / std
+        # instance-norm statistics in fp32 for bf16 activations
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=spatial, keepdims=True)
+        x32 = x32 - mean
+        std = jnp.sqrt(jnp.mean(x32 ** 2, axis=spatial, keepdims=True)
+                       + self.epsilon)
+        x = (x32 / std).astype(x.dtype)
 
         style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
         style = style.reshape(style.shape[:1] + (1,) * len(spatial) + (-1,))

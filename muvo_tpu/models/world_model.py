@@ -264,8 +264,10 @@ class MuvoWorldModel(nn.Module):
             h_l, w_l = lidar_features.shape[1:3]
             tf_c = cfg.MODEL.TRANSFORMER.CHANNELS
 
-            image_tokens = x + position_embedding_sine(h_i, w_i, tf_c // 2)
-            lidar_tokens = lidar_features + position_embedding_sine(h_l, w_l, tf_c // 2)
+            image_tokens = x + position_embedding_sine(h_i, w_i, tf_c // 2).astype(x.dtype)
+            lidar_tokens = lidar_features + position_embedding_sine(
+                h_l, w_l, tf_c // 2
+            ).astype(lidar_features.dtype)
             image_tokens = image_tokens.reshape(-1, h_i * w_i, tf_c)
             lidar_tokens = lidar_tokens.reshape(-1, h_l * w_l, tf_c)
             image_tokens = image_tokens + self.type_embedding[:, :, :, 0]

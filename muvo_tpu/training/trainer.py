@@ -23,6 +23,7 @@ from muvo_tpu.models.world_model import MuvoWorldModel
 from muvo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from muvo_tpu.training.objectives import compute_loss, reduce_loss
 from muvo_tpu.training.optim import make_optimizer
+from muvo_tpu.utils.precision import cast_floating, compute_dtype_from_cfg
 
 
 class TrainState(NamedTuple):
@@ -33,12 +34,12 @@ class TrainState(NamedTuple):
 
 
 class WorldModelTrainer:
-    def __init__(self, cfg, mesh: Optional[Mesh] = None,
-                 compute_dtype=jnp.float32):
+    def __init__(self, cfg, mesh: Optional[Mesh] = None, compute_dtype=None):
         self.cfg = cfg
         self.static_cfg = as_static(cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.compute_dtype = compute_dtype
+        self.compute_dtype = (compute_dtype if compute_dtype is not None
+                              else compute_dtype_from_cfg(cfg))
         self.model = MuvoWorldModel(self.static_cfg)
         self.preprocess = PreProcess(cfg)
         self.rf = cfg.RECEPTIVE_FIELD
@@ -75,19 +76,24 @@ class WorldModelTrainer:
     def _loss_fn(self, params, batch_stats, batch, rng, training: bool):
         rng_aug, rng_drop, rng_model = jax.random.split(rng, 3)
         pb = self.preprocess(batch, training=training, rng=rng_aug)
-        variables = {"params": params, "batch_stats": batch_stats}
+        # bf16 compute with fp32 master params: cast params + floating batch
+        # tensors at the step boundary (normalisation stats stay fp32).
+        cparams = cast_floating(params, self.compute_dtype)
+        cbatch = cast_floating(pb, self.compute_dtype)
+        variables = {"params": cparams, "batch_stats": batch_stats}
         if training:
             (output, _), mutated = self.model.apply(
-                variables, pb, training=True, rng=rng_model,
+                variables, cbatch, training=True, rng=rng_model,
                 rngs={"dropout": rng_drop},
                 mutable=["batch_stats"],
             )
-            new_stats = mutated["batch_stats"]
+            new_stats = cast_floating(mutated["batch_stats"], jnp.float32)
         else:
             output, _ = self.model.apply(
-                variables, pb, training=False, rng=rng_model
+                variables, cbatch, training=False, rng=rng_model
             )
             new_stats = batch_stats
+        output = cast_floating(output, jnp.float32)
         losses = compute_loss(self.cfg, pb, output)
         return reduce_loss(losses), (losses, new_stats)
 
@@ -101,6 +107,7 @@ class WorldModelTrainer:
             (total, (losses, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True
             )
+            grads = cast_floating(grads, jnp.float32)
             updates, new_opt_state = tx.update(grads, state.opt_state,
                                                state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -129,27 +136,31 @@ class WorldModelTrainer:
         def eval_step(state: TrainState, batch: Dict, rng) -> Dict:
             r1, r2 = jax.random.split(rng)
             pb = self.preprocess(batch, training=False)
-            variables = {"params": state.params,
+            variables = {"params": cast_floating(state.params, self.compute_dtype),
                          "batch_stats": state.batch_stats}
+            cpb = cast_floating(pb, self.compute_dtype)
             batch_rf = {k: v[:, : self.rf] for k, v in pb.items()}
             batch_fh = {k: v[:, self.rf:] for k, v in pb.items()}
+            crf = {k: v[:, : self.rf] for k, v in cpb.items()}
             output, state_dict = self.model.apply(
-                variables, batch_rf, training=False, rng=r1
+                variables, crf, training=False, rng=r1
             )
+            output = cast_floating(output, jnp.float32)
             losses = compute_loss(self.cfg, batch_rf, output)
             out = {"losses": losses, "output": output}
             if self.cfg.MODEL.TRANSITION.ENABLED and self.fh > 0:
                 imagine_batch = {
                     "hidden_state": state_dict["posterior"]["hidden_state"][:, -1],
                     "sample": state_dict["posterior"]["sample"][:, -1],
-                    "throttle_brake": batch_fh["throttle_brake"],
-                    "steering": batch_fh["steering"],
+                    "throttle_brake": cpb["throttle_brake"][:, self.rf:],
+                    "steering": cpb["steering"][:, self.rf:],
                 }
                 output_imagine = self.model.apply(
                     variables, imagine_batch, predict_action=False,
                     future_horizon=self.fh, rng=r2,
                     method=self.model.imagine,
                 )
+                output_imagine = cast_floating(output_imagine, jnp.float32)
                 out["losses_imagine"] = compute_loss(
                     self.cfg, batch_fh, output_imagine
                 )
