@@ -16,6 +16,10 @@ A100 training throughput: 6 frames per optimizer micro-step at ~0.6 s/step
 
 from __future__ import annotations
 
+from muvo_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 import json
 import sys
 import time

@@ -11,6 +11,10 @@ Usage:
 
 from __future__ import annotations
 
+from muvo_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 import json
 
 import jax

@@ -9,6 +9,10 @@ stays on device across calls — no host round-trips in the rollout.
 
 from __future__ import annotations
 
+from muvo_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 import json
 import os
 

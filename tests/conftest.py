@@ -17,4 +17,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from muvo_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"

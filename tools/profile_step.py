@@ -1,0 +1,93 @@
+"""Profile the training step on the TPU and report the hottest ops.
+
+Runs the bench setup, captures a jax.profiler trace for a few steps, then
+parses the trace events and prints cumulative device time per op category.
+
+Usage: python tools/profile_step.py [trace_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from muvo_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+
+def run_and_trace(trace_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from muvo_tpu.config import get_cfg
+    from muvo_tpu.data.synthetic import synthetic_batch
+    from muvo_tpu.parallel.mesh import make_mesh, shard_batch
+    from muvo_tpu.training.trainer import WorldModelTrainer
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "muvo_tpu/configs/muvo.yml")
+    )
+    cfg.BATCHSIZE = max(1, len(jax.devices()))
+    cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
+
+    mesh = make_mesh()
+    trainer = WorldModelTrainer(cfg, mesh=mesh)
+    seq = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
+    batch = synthetic_batch(cfg, batch_size=cfg.BATCHSIZE, sequence_length=seq)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state = trainer.init_state(batch)
+    train_step = trainer.make_train_step(donate=True)
+    sharded = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(2):  # compile + warm
+        state, metrics = train_step(state, sharded, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            state, metrics = train_step(state, sharded, rng)
+        jax.block_until_ready(metrics["loss"])
+    print("trace written to", trace_dir)
+
+
+def summarize(trace_dir: str, top: int = 40):
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print("no trace files found under", trace_dir)
+        return
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+
+    durations = defaultdict(float)
+    counts = defaultdict(int)
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "")
+        cat = ev.get("args", {}).get("long_name", name)
+        durations[name] += ev.get("dur", 0) / 1e3  # ms
+        counts[name] += 1
+
+    total = sum(durations.values())
+    print(f"\ntotal traced op time: {total:.1f} ms over {len(durations)} op names")
+    for name, dur in sorted(durations.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur:10.2f} ms  x{counts[name]:<5} {name[:110]}")
+
+
+if __name__ == "__main__":
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/muvo_trace"
+    run_and_trace(trace_dir)
+    summarize(trace_dir)

@@ -10,6 +10,10 @@ Usage:
 
 from __future__ import annotations
 
+from muvo_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 import os
 import socket
 import time
