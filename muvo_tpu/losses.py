@@ -17,13 +17,19 @@ _EPS = 1e-12
 
 def _cross_entropy(logits, target, weights: Optional[jnp.ndarray]):
     """Per-element CE. logits (..., C) vs int target (...). Optional class
-    weights (C,) applied like torch's weighted cross_entropy."""
+    weights (C,) applied like torch's weighted cross_entropy.
+
+    Implemented via one-hot contraction rather than take_along_axis: with the
+    small class counts here (2-9) the gather and its sort-based scatter
+    gradient dominated the TPU step time; the one-hot form fuses into the
+    softmax elementwise pipeline.
+    """
+    n_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
-                                 axis=-1)[..., 0]
-    loss = -picked
+    onehot = jax.nn.one_hot(target, n_classes, dtype=logp.dtype)
+    loss = -jnp.sum(logp * onehot, axis=-1)
     if weights is not None:
-        loss = loss * weights[target.astype(jnp.int32)]
+        loss = loss * jnp.sum(onehot * weights.astype(logp.dtype), axis=-1)
     return loss
 
 

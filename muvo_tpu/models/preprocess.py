@@ -21,8 +21,14 @@ from muvo_tpu.utils.instance import center_offset_labels
 
 
 def _nearest_resize(x, out_h, out_w):
-    """torch-style nearest resize on (..., h, w, c)."""
+    """torch-style nearest resize on (..., h, w, c).
+
+    Integer-factor downsampling uses strided slicing (torch nearest picks
+    index floor(i * h/out) = i * factor) — gathers are slow on TPU.
+    """
     h, w = x.shape[-3], x.shape[-2]
+    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
+        return x[..., :: h // out_h, :: w // out_w, :]
     rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
     return x[..., rows, :, :][..., :, cols, :]
@@ -286,11 +292,17 @@ def _gaussian_blur(img, window, std):
 
 
 def _conv1d(im, kern, axis):
-    """Valid-mode 1-D convolution along `axis` of (h, w, c)."""
+    """Valid-mode 1-D convolution along `axis` of (h, w, c) via shifted
+    slices (gather-free; fuses into one elementwise pipeline on TPU)."""
     window = kern.shape[0]
-    idx = jnp.arange(im.shape[axis] - window + 1)[:, None] + jnp.arange(window)[None, :]
-    gathered = jnp.take(im, idx, axis=axis)  # (..., out, window, ...)
-    return jnp.tensordot(gathered, kern, axes=([axis + 1], [0]))
+    out_len = im.shape[axis] - window + 1
+    acc = None
+    for t in range(window):
+        sl = [slice(None)] * im.ndim
+        sl[axis] = slice(t, t + out_len)
+        term = im[tuple(sl)] * kern[t]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _adjust_sharpness(img, factor):

@@ -54,8 +54,15 @@ class ConvInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, w):
-        kernel = (3,) * (x.ndim - 2)
-        x = nn.Conv(self.out_channels, kernel, padding="SAME", name="conv")(x)
+        if x.ndim == 5 and x.shape[-1] <= 64:
+            # small-channel conv3d: z-band lowering keeps the MXU busy
+            from muvo_tpu.ops.conv3d_zband import Conv3dZBand
+
+            x = Conv3dZBand(self.out_channels, name="conv")(x)
+        else:
+            kernel = (3,) * (x.ndim - 2)
+            x = nn.Conv(self.out_channels, kernel, padding="SAME",
+                        name="conv")(x)
         x = leaky_relu_torch(x, 0.2)
         return AdaptiveInstanceNorm(self.out_channels, name="adain")(x, w)
 
