@@ -45,6 +45,33 @@ class RepresentationModel(nn.Module):
         return mu, sigma
 
 
+class GRUCellLayerNorm(nn.Module):
+    """Layer-normalised GRU cell (reference common.py:26-50; unused by the
+    default configs but part of the building-block inventory)."""
+
+    hidden_dim: int
+    reset_bias: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, h):
+        xh = jnp.concatenate([x, h], axis=-1)
+        update = nn.LayerNorm(name="update_norm")(
+            nn.Dense(self.hidden_dim, use_bias=False, name="update")(xh)
+        )
+        update = jax.nn.sigmoid(update)
+        reset = nn.LayerNorm(name="reset_norm")(
+            nn.Dense(self.hidden_dim, use_bias=False, name="reset")(xh)
+        )
+        reset = jax.nn.sigmoid(reset + self.reset_bias)
+        proposal = nn.LayerNorm(name="proposal_norm")(
+            nn.Dense(self.hidden_dim, use_bias=False, name="proposal")(
+                jnp.concatenate([x, reset * h], axis=-1)
+            )
+        )
+        h_n = jnp.tanh(proposal)
+        return (1 - update) * h_n + update * h
+
+
 class GRUCell(nn.Module):
     """torch.nn.GRUCell-compatible gate maths (r, z, n ordering)."""
 
