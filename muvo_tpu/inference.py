@@ -64,7 +64,8 @@ class DeploymentSession:
         @jax.jit
         def decode(variables, carry: LatentCarry):
             state = jnp.concatenate([carry.h, carry.sample], axis=-1)
-            policy_out = model.apply(variables, state, method=model.policy)
+            policy_out = model.apply(variables, state,
+                                     method=model.policy_forward)
             throttle_brake, steering = jnp.split(policy_out, 2, axis=-1)
             b = state.shape[0]
             outputs = model.apply(variables, state, b, 1,

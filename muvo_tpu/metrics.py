@@ -21,7 +21,7 @@ from muvo_tpu.losses import ssim as _ssim_fn
 # Jaccard / IoU via confusion matrix
 # ---------------------------------------------------------------------------
 def jaccard_init(n_classes: int):
-    return jnp.zeros((n_classes, n_classes), jnp.int64)
+    return jnp.zeros((n_classes, n_classes), jnp.int32)
 
 
 def jaccard_update(conf, pred, target, n_classes: int):
@@ -36,7 +36,7 @@ def jaccard_update(conf, pred, target, n_classes: int):
 
 def jaccard_compute(conf):
     """Per-class IoU (torchmetrics 'none' average: absent classes -> 0)."""
-    conf = conf.astype(jnp.float64)
+    conf = conf.astype(jnp.float32)
     tp = jnp.diag(conf)
     fp = conf.sum(axis=0) - tp
     fn = conf.sum(axis=1) - tp
@@ -48,14 +48,14 @@ def jaccard_compute(conf):
 # SSC metrics (semantic scene completion)
 # ---------------------------------------------------------------------------
 def ssc_init(n_classes: int) -> Dict:
-    z = jnp.zeros((), jnp.float64)
+    z = jnp.zeros((), jnp.float32)
     return {
         "completion_tp": z,
         "completion_fp": z,
         "completion_fn": z,
-        "tps": jnp.zeros((n_classes,), jnp.float64),
-        "fps": jnp.zeros((n_classes,), jnp.float64),
-        "fns": jnp.zeros((n_classes,), jnp.float64),
+        "tps": jnp.zeros((n_classes,), jnp.float32),
+        "fps": jnp.zeros((n_classes,), jnp.float32),
+        "fns": jnp.zeros((n_classes,), jnp.float32),
     }
 
 
@@ -111,7 +111,7 @@ def ssc_compute(state: Dict) -> Dict:
 # Running-mean metrics: SSIM / PSNR / Chamfer
 # ---------------------------------------------------------------------------
 def mean_init():
-    return {"total": jnp.zeros((), jnp.float64), "count": jnp.zeros((), jnp.float64)}
+    return {"total": jnp.zeros((), jnp.float32), "count": jnp.zeros((), jnp.float32)}
 
 
 def mean_update(state, value):

@@ -423,6 +423,10 @@ class MuvoWorldModel(nn.Module):
         """Encode and return the embedding of the last frame: (b, C)."""
         return self.encode(batch, train=train)[:, -1]
 
+    def policy_forward(self, state):
+        """Policy head on a (b, state_dim) latent (for apply(method=...))."""
+        return self.policy(state)
+
     # ==================================================================
     def imagine(self, batch: Dict, predict_action: bool = False,
                 future_horizon: Optional[int] = None,

@@ -50,8 +50,56 @@ def conv3d_zband(x, kernel, bias=None):
     return y
 
 
+def conv3d_zblock(x, kernel, bias=None, block: int = 16):
+    """Blocked z-fold conv3d: like conv3d_zband but folds only ``block``
+    z-slices (+1 halo each side) per matmul, bounding the banded-FLOP
+    overhead at (block+2)*9/27 ≈ block/3 /(block) ... ~6x for block=16 while
+    filling the 128 output lanes (block * Cout).
+
+    x: (B, X, Y, Z, C); kernel: (3, 3, 3, C, Cout). Z % block == 0.
+    """
+    b, X, Y, Z, C = x.shape
+    _, _, _, _, Cout = kernel.shape
+    f = block
+    assert Z % f == 0, f"Z={Z} not divisible by block={f}"
+    zb = Z // f
+    dtype = x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    # overlapping blocks: (B, X, Y, zb, f+2, C)
+    blocks = jnp.stack(
+        [xp[:, :, :, i * f: i * f + f + 2, :] for i in range(zb)], axis=3
+    )
+    # fold zb into batch for a dense conv2d
+    blocks = jnp.moveaxis(blocks, 3, 1).reshape(b * zb, X, Y, (f + 2) * C)
+
+    # W[h, w, (i, c), (j, c')] = kernel[h, w, i - j, c, c'] for i-j in {0,1,2}
+    W = jnp.zeros((3, 3, f + 2, C, f, Cout), dtype)
+    for dz in range(3):
+        idx_i = jnp.arange(f) + dz
+        # paired advanced indices (i = j + dz, j) broadcast to the front
+        W = W.at[:, :, idx_i, :, jnp.arange(f), :].add(
+            kernel[:, :, dz].astype(dtype)[None]
+        )
+    W = W.reshape(3, 3, (f + 2) * C, f * Cout)
+
+    y = jax.lax.conv_general_dilated(
+        blocks, W, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y.reshape(b, zb, X, Y, f, Cout)
+    y = jnp.moveaxis(y, 1, 3).reshape(b, X, Y, Z, Cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class Conv3dZBand(nn.Module):
-    """Drop-in 3x3x3 'SAME' conv3d with the z-band lowering."""
+    """Drop-in 3x3x3 'SAME' conv3d with z-folded MXU lowering.
+
+    Small Z folds entirely (z-band); large Z uses overlapping blocks sized so
+    the output width fills the 128 MXU lanes.
+    """
 
     features: int
     use_bias: bool = True
@@ -59,9 +107,17 @@ class Conv3dZBand(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
+        z = x.shape[-2]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, 3, c_in, self.features)
         )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        return conv3d_zband(x, kernel, bias)
+        if z <= 18:  # full-band FLOP overhead (z/3) still cheap
+            return conv3d_zband(x, kernel, bias)
+        block = max(1, 128 // self.features)
+        while z % block != 0:
+            block //= 2
+        if block <= 2:
+            return conv3d_zband(x, kernel, bias)
+        return conv3d_zblock(x, kernel, bias, block=block)

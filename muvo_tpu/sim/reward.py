@@ -183,3 +183,49 @@ class ValeoTerminal:
             "debug_texts": [],
         }
         return done, terminal_reward, debug
+
+
+class LeaderboardTerminal(ValeoTerminal):
+    """Leaderboard-style evaluation terminal: no lateral-drift or stuck
+    termination; only hard infractions and timeout end the episode
+    (reference: terminal/leaderboard.py)."""
+
+    def __call__(self, inp: TerminalInput):
+        done = (inp.collision or inp.route_deviation or inp.blocked
+                or inp.timeout)
+        debug = {
+            "traffic_rule_violated": bool(inp.collision),
+            "blocked": bool(inp.blocked),
+            "route_deviation": bool(inp.route_deviation),
+            "exploration_suggest": {"acc": 0, "steer": 0},
+            "debug_texts": [],
+        }
+        return done, 0.0, debug
+
+
+class LeaderboardDaggerTerminal(ValeoTerminal):
+    """Data-collection terminal (reference: terminal/leaderboard_dagger.py):
+    like Valeo but without stuck termination (the expert may idle at lights)
+    and without terminal speed penalties."""
+
+    def __call__(self, inp: TerminalInput):
+        lat = abs(inp.lateral_distance)
+        if lat - self._last_lat_dist > 0.8:
+            thresh = lat + 0.5
+        else:
+            thresh = max(self._min_thresh_lat_dist, self._last_lat_dist)
+        c_lat = lat > thresh + 1e-2
+        self._last_lat_dist = lat
+
+        infractions = (inp.run_red_light or inp.collision or inp.run_stop_sign
+                       or inp.blocked)
+        done = c_lat or infractions or inp.route_deviation or inp.timeout
+        debug = {
+            "traffic_rule_violated": bool(inp.run_red_light or inp.collision
+                                          or inp.run_stop_sign),
+            "blocked": bool(inp.blocked),
+            "route_deviation": bool(inp.route_deviation or c_lat),
+            "exploration_suggest": {"acc": 0, "steer": 0},
+            "debug_texts": [],
+        }
+        return done, 0.0, debug
