@@ -39,6 +39,20 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
+    def log_image(self, step: int, name: str, image):
+        """image: (H, W, 3) uint8."""
+        if self._tb is not None:
+            self._tb.add_image(name, image, step, dataformats="HWC")
+        else:
+            import numpy as np
+            from PIL import Image
+
+            out_dir = os.path.join(self.log_dir, "images")
+            os.makedirs(out_dir, exist_ok=True)
+            Image.fromarray(np.asarray(image)).save(
+                os.path.join(out_dir, f"{name.replace('/', '_')}_{step}.png")
+            )
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

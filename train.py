@@ -99,6 +99,21 @@ def main():
                     out = eval_step(state, vbatch, rng)
                     for k, v in out["losses"].items():
                         val_metrics[k] = val_metrics.get(k, 0) + float(np.asarray(v))
+                    if i == 0:
+                        try:
+                            from muvo_tpu.training.visualise import visualise_step
+
+                            pb = jax.jit(
+                                lambda b: trainer.preprocess(b, training=False)
+                            )(vbatch)
+                            panels = visualise_step(
+                                cfg, pb, out["output"],
+                                out.get("output_imagine"),
+                            )
+                            for name, img in panels.items():
+                                logger.log_image(step, f"val0/{name}", img)
+                        except Exception as e:
+                            print(f"visualisation failed: {e}")
                 logger.log(step, val_metrics, prefix="val0")
                 ckpt.save(step, jax.device_get(state),
                           cfg_dict=cfg.convert_to_dict())
