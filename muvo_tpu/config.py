@@ -338,6 +338,9 @@ def _build_defaults() -> CfgNode:
     c.MODEL.MEASUREMENTS.COMMAND_CHANNELS = 8
     c.MODEL.MEASUREMENTS.GPS_CHANNELS = 16
     c.MODEL.EMBEDDING_DIM = 512
+    # Rematerialise decoder activations in backward (trades FLOPs for HBM,
+    # enabling larger per-chip batches). TPU-specific extension key.
+    c.MODEL.REMAT = False
     c.MODEL.TRANSITION = CfgNode()
     c.MODEL.TRANSITION.ENABLED = True
     c.MODEL.TRANSITION.HIDDEN_STATE_DIM = 1024

@@ -100,6 +100,28 @@ class SegmentationHead(nn.Module):
         }
 
 
+class _PointwiseConv(nn.Module):
+    """1x1(x1) conv as an einsum over the channel axis.
+
+    For 3-D tensors XLA's conv path chose a minor-batch layout with >10x
+    padding on the gradient; the einsum form keeps channels minor. Parameter
+    shape matches nn.Conv's 1x1(x1) kernel so weight conversion is unchanged.
+    """
+
+    features: int
+    spatial_rank: int
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kshape = (1,) * self.spatial_rank + (c_in, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = kernel.reshape(c_in, self.features).astype(x.dtype)
+        return jnp.einsum("...c,cd->...d", x, w) + bias.astype(x.dtype)
+
+
 class _SingleConvHead(nn.Module):
     n_classes: int
     downsample_factor: int
@@ -107,8 +129,7 @@ class _SingleConvHead(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
-        kernel = (1,) * (x.ndim - 2)
-        out = nn.Conv(self.n_classes, kernel, name="head")(x)
+        out = _PointwiseConv(self.n_classes, x.ndim - 2, name="head")(x)
         return {f"{self.key_prefix}_{self.downsample_factor}": out}
 
 

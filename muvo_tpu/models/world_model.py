@@ -181,6 +181,19 @@ class MuvoWorldModel(nn.Module):
         self.policy = Policy(in_channels=state_dim)
 
         # ---- decoders -------------------------------------------------
+        # Optional rematerialisation: recompute decoder activations in the
+        # backward pass instead of storing them (cfg.MODEL.REMAT).
+        try:
+            use_remat = bool(cfg.MODEL.REMAT)
+        except AttributeError:
+            use_remat = False
+        if use_remat:
+            bev_cls = nn.remat(BevDecoder)
+            conv_cls = nn.remat(ConvDecoder)
+            voxel_cls = nn.remat(VoxelDecoder)
+        else:
+            bev_cls, conv_cls, voxel_cls = BevDecoder, ConvDecoder, VoxelDecoder
+
         # Decoder constant sizes are target_size / 2^6 (six 2x upsamplings):
         # reference hard-codes (5,13) = 320x832/64, (1,16) = 64x1024/64,
         # (3,3) = 192/64, (3,3,1) = (192,192,64)/64. Deriving them from config
@@ -194,42 +207,42 @@ class MuvoWorldModel(nn.Module):
         voxel_const = tuple(max(1, v // 64) for v in cfg.VOXEL.SIZE)
 
         if cfg.SEMANTIC_SEG.ENABLED:
-            self.bev_decoder = BevDecoder(
+            self.bev_decoder = bev_cls(
                 latent_n_channels=state_dim,
                 semantic_n_channels=cfg.SEMANTIC_SEG.N_CHANNELS,
                 constant_size=bev_const,
                 head="bev",
             )
         if cfg.EVAL.RGB_SUPERVISION:
-            self.rgb_decoder = ConvDecoder(
+            self.rgb_decoder = conv_cls(
                 latent_n_channels=state_dim, out_channels=3,
                 constant_size=img_const, head="rgb",
             )
         if cfg.LIDAR_RE.ENABLED:
-            self.lidar_re = ConvDecoder(
+            self.lidar_re = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.LIDAR_RE.N_CHANNELS,
                 constant_size=lidar_const, head="lidar_re",
             )
         if cfg.LIDAR_SEG.ENABLED:
-            self.lidar_segmentation = ConvDecoder(
+            self.lidar_segmentation = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.LIDAR_SEG.N_CLASSES,
                 constant_size=lidar_const, head="lidar_seg",
             )
         if cfg.SEMANTIC_IMAGE.ENABLED:
-            self.sem_image_decoder = ConvDecoder(
+            self.sem_image_decoder = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.SEMANTIC_IMAGE.N_CLASSES,
                 constant_size=img_const, head="sem_image",
             )
         if cfg.DEPTH.ENABLED:
-            self.depth_image_decoder = ConvDecoder(
+            self.depth_image_decoder = conv_cls(
                 latent_n_channels=state_dim, out_channels=1,
                 constant_size=img_const, head="depth",
             )
         if cfg.VOXEL_SEG.ENABLED:
-            self.voxel_decoder = VoxelDecoder(
+            self.voxel_decoder = voxel_cls(
                 latent_n_channels=state_dim,
                 semantic_n_channels=cfg.VOXEL_SEG.N_CLASSES,
                 feature_channels=cfg.VOXEL_SEG.DIMENSION,

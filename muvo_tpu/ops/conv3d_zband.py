@@ -66,12 +66,12 @@ def conv3d_zblock(x, kernel, bias=None, block: int = 16):
     dtype = x.dtype
 
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    # overlapping blocks: (B, X, Y, zb, f+2, C)
+    # overlapping blocks laid out group-major in channels: (B,X,Y,zb,(f+2),C).
+    # zb stays in the channel axis via a grouped conv (no batch folding — a
+    # zb-in-batch layout made XLA pick a minor-batch layout with >10x padding).
     blocks = jnp.stack(
         [xp[:, :, :, i * f: i * f + f + 2, :] for i in range(zb)], axis=3
-    )
-    # fold zb into batch for a dense conv2d
-    blocks = jnp.moveaxis(blocks, 3, 1).reshape(b * zb, X, Y, (f + 2) * C)
+    ).reshape(b, X, Y, zb * (f + 2) * C)
 
     # W[h, w, (i, c), (j, c')] = kernel[h, w, i - j, c, c'] for i-j in {0,1,2}
     W = jnp.zeros((3, 3, f + 2, C, f, Cout), dtype)
@@ -82,13 +82,15 @@ def conv3d_zblock(x, kernel, bias=None, block: int = 16):
             kernel[:, :, dz].astype(dtype)[None]
         )
     W = W.reshape(3, 3, (f + 2) * C, f * Cout)
+    # every z-block shares the kernel: tile along the grouped output axis
+    Wg = jnp.tile(W, (1, 1, 1, zb))
 
     y = jax.lax.conv_general_dilated(
-        blocks, W, (1, 1), ((1, 1), (1, 1)),
+        blocks, Wg, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=zb,
     )
-    y = y.reshape(b, zb, X, Y, f, Cout)
-    y = jnp.moveaxis(y, 1, 3).reshape(b, X, Y, Z, Cout)
+    y = y.reshape(b, X, Y, Z, Cout)
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
