@@ -38,7 +38,10 @@ def main(n_steps: int = 12, warmup: int = 3):
 
     cfg = get_cfg()
     cfg.merge_from_file("muvo_tpu/configs/muvo.yml")
-    cfg.BATCHSIZE = max(1, len(jax.devices()))
+    # 2 sequences per chip (12 frames) saturates a v5e chip within its HBM
+    # (batch 4 needs ~15.9G); decoder remat trades FLOPs for activations.
+    cfg.BATCHSIZE = 2 * max(1, len(jax.devices()))
+    cfg.MODEL.REMAT = True
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
 
     mesh = make_mesh()

@@ -56,8 +56,22 @@ class RangeProjector:
         """Project ego-frame points -> (depth HxW, xyz HxWx3, sem HxW).
 
         Pixels with no point get depth -1, xyz 0, sem 0. Where several points
-        land on one pixel the nearest wins.
+        land on one pixel the nearest wins. Uses the native C kernel when
+        available (muvo_tpu/native), else the vectorised numpy path.
         """
+        from muvo_tpu import native
+
+        if native.available():
+            out = native.range_project(
+                np.asarray(points, np.float32), np.asarray(semantics, np.uint8),
+                self.h, self.w, self.fov_down, self.fov_up,
+                self.lidar_position,
+            )
+            if out is not None:
+                return out
+        return self.project_numpy(points, semantics)
+
+    def project_numpy(self, points, semantics):
         points = np.asarray(points, dtype=np.float64)
         semantics = np.asarray(semantics)
         depth, proj_h, proj_w = self._pixel_coords(points)

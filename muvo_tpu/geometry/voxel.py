@@ -138,6 +138,12 @@ def voxel_filter(pcd, sem, voxel_resolution, voxel_size, offset,
 
 def densify_voxels(voxel_coords, voxel_sem, grid_size):
     """Sparse (K,3)+(K,) voxel rows -> dense uint8 grid of ``grid_size``."""
+    from muvo_tpu import native
+
+    if native.available() and voxel_coords.shape[0]:
+        out = native.densify_voxels(voxel_coords, voxel_sem, grid_size)
+        if out is not None:
+            return out
     grid = np.zeros(tuple(grid_size), dtype=np.uint8)
     if voxel_coords.shape[0]:
         c = voxel_coords.astype(np.int64)

@@ -1,0 +1,70 @@
+"""Native C++ kernels vs the numpy reference implementations."""
+
+import numpy as np
+import pytest
+
+from muvo_tpu import native
+from muvo_tpu.geometry.range_view import RangeProjector
+from muvo_tpu.geometry.voxel import decode_depth
+
+rng = np.random.RandomState(5)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def test_native_range_projection_matches_numpy():
+    proj = RangeProjector(h=32, w=128)
+    pts = rng.uniform(-40, 40, (3000, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0, 6, 3000)
+    sems = rng.randint(0, 9, 3000).astype(np.uint8)
+
+    d_c, x_c, s_c = native.range_project(
+        pts, sems, proj.h, proj.w, proj.fov_down, proj.fov_up,
+        proj.lidar_position,
+    )
+    d_np, x_np, s_np = proj.project_numpy(pts, sems)
+    np.testing.assert_allclose(d_c, d_np, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(x_c, x_np, rtol=1e-4, atol=1e-4)
+    assert (s_c != s_np).mean() < 0.005  # ties may break differently
+
+
+def test_native_densify():
+    coords = rng.randint(0, 32, (500, 3)).astype(np.uint16)
+    sems = rng.randint(1, 9, 500).astype(np.uint8)
+    out = native.densify_voxels(coords, sems, (32, 32, 32))
+    ref = np.zeros((32, 32, 32), np.uint8)
+    # replicate last-write-wins order
+    for c, s in zip(coords, sems):
+        ref[c[0], c[1], c[2]] = s
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_native_decode_depth():
+    rgb = rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+    out = native.decode_depth(rgb)
+    ref = decode_depth(rgb)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_native_speedup():
+    """Native projection should beat numpy comfortably on realistic sizes."""
+    import time
+
+    proj = RangeProjector(h=64, w=1024)
+    n = 60000  # one CARLA frame
+    pts = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    sems = rng.randint(0, 22, n).astype(np.uint8)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native.range_project(pts, sems, proj.h, proj.w, proj.fov_down,
+                             proj.fov_up, proj.lidar_position)
+    t_native = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        proj.project_numpy(pts, sems)
+    t_numpy = (time.perf_counter() - t0) / 3
+    print(f"native {t_native*1e3:.2f} ms vs numpy {t_numpy*1e3:.2f} ms")
+    assert t_native < t_numpy
