@@ -107,6 +107,43 @@ def prepare_final_display_image(
     return np.concatenate(rows, axis=0)
 
 
+def optical_flow_image(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+    """Colour-coded Farneback optical flow between two RGB frames.
+
+    (reference: muvo/trainer.py:1009-1020 get_color_coded_flow)
+    """
+    import cv2
+
+    g1 = cv2.cvtColor(img1, cv2.COLOR_RGB2GRAY)
+    g2 = cv2.cvtColor(img2, cv2.COLOR_RGB2GRAY)
+    flow = cv2.calcOpticalFlowFarneback(g1, g2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    hsv = np.zeros((*flow.shape[:2], 3), np.uint8)
+    hsv[..., 2] = 255
+    mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+    hsv[..., 0] = ang * (180 / np.pi / 2)
+    hsv[..., 1] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def trajectory_plot(positions: np.ndarray, size: int = 256) -> np.ndarray:
+    """Top-down trajectory polyline image from (T, 2/3) positions.
+
+    (reference trainer.py:808-842 plots ICP-derived trajectories)
+    """
+    import cv2
+
+    img = np.full((size, size, 3), 255, np.uint8)
+    pts = np.asarray(positions, float)[:, :2]
+    if len(pts) >= 2:
+        lo = pts.min(axis=0)
+        span = max(float((pts.max(axis=0) - lo).max()), 1e-3)
+        px = ((pts - lo) / span * (size - 20) + 10).astype(np.int32)
+        cv2.polylines(img, [px], False, (0, 83, 138), 2)
+        cv2.circle(img, tuple(px[0]), 4, (50, 205, 50), -1)
+        cv2.circle(img, tuple(px[-1]), 4, (220, 20, 60), -1)
+    return img
+
+
 def sequence_strip(frames: List[np.ndarray], receptive_field: int,
                    separator_width: int = 4) -> np.ndarray:
     """Horizontally tile frames with a red separator after the RF frames."""
