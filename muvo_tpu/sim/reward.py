@@ -185,6 +185,13 @@ class ValeoTerminal:
         return done, terminal_reward, debug
 
 
+class ValeoNoDetPxTerminal(ValeoTerminal):
+    """Valeo terminal without the detection-pixel condition — in this
+    framework hazard detection feeds in through TerminalInput, so the logic
+    is the Valeo terminal itself (reference: terminal/valeo_no_det_px.py
+    differs only in dropping the collision-detection-pixel trigger)."""
+
+
 class LeaderboardTerminal(ValeoTerminal):
     """Leaderboard-style evaluation terminal: no lateral-drift or stuck
     termination; only hard infractions and timeout end the episode
