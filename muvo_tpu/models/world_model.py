@@ -287,7 +287,13 @@ class MuvoWorldModel(nn.Module):
             lidar_tokens = lidar_tokens + self.type_embedding[:, :, :, 1]
 
             tokens = jnp.concatenate([image_tokens, lidar_tokens], axis=1)
+            # TP hint: shard the fusion transformer's channel dim (i.e. its
+            # attention heads / FFN) over the mesh 'model' axis.
+            from muvo_tpu.parallel.sharding import constrain
+
+            tokens = constrain(tokens, ("data", None, "model"))
             tokens = self.transformer(tokens, train)
+            tokens = constrain(tokens, ("data", None, "model"))
             image_out = tokens[:, : h_i * w_i].reshape(-1, h_i, w_i, tf_c)
             lidar_out = tokens[:, h_i * w_i:].reshape(-1, h_l, w_l, tf_c)
 
@@ -384,7 +390,16 @@ class MuvoWorldModel(nn.Module):
         if cfg.DEPTH.ENABLED:
             output.update(unpack_sequence_dim(self.depth_image_decoder(state), b, s))
         if cfg.VOXEL_SEG.ENABLED:
-            output.update(unpack_sequence_dim(self.voxel_decoder(state), b, s))
+            voxel_out = self.voxel_decoder(state)
+            # SP hint: shard the dense voxel grids' leading spatial dim over
+            # 'model' (these are the largest activations in the graph).
+            from muvo_tpu.parallel.sharding import constrain
+
+            voxel_out = {
+                k: constrain(v, ("data", "model", None, None, None))
+                for k, v in voxel_out.items()
+            }
+            output.update(unpack_sequence_dim(voxel_out, b, s))
         return output
 
     # ==================================================================

@@ -158,11 +158,16 @@ class Evaluator:
                 {k: jnp.asarray(v) for k, v in batch.items()}, self.trainer.mesh
             )
             rng, step_rng = jax.random.split(rng)
-            out = self.eval_step(state, batch, step_rng)
             pb = self._pre(batch)
             batch_rf = {k: v[:, : self.rf] for k, v in pb.items()}
             batch_fh = {k: v[:, self.rf:] for k, v in pb.items()}
+            # N_SAMPLES independent imagination rollouts per batch
+            # (reference trainer.py:244-247)
+            for _ in range(self.n_samples):
+                rng, sample_rng = jax.random.split(rng)
+                out = self.eval_step(state, batch, sample_rng)
+                if "output_imagine" in out and self.fh > 0:
+                    imagine.update(batch_fh, out["output_imagine"],
+                                   rng=sample_rng)
             recon.update(batch_rf, out["output"], rng=step_rng)
-            if "output_imagine" in out and self.fh > 0:
-                imagine.update(batch_fh, out["output_imagine"], rng=step_rng)
         return recon.compute(), imagine.compute()
