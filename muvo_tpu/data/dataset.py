@@ -25,7 +25,7 @@ from muvo_tpu.data.dataset_utils import calculate_birdview_labels, integer_to_bi
 from muvo_tpu.data.synthetic import synthetic_batch
 from muvo_tpu.geometry.camera import calculate_geometry_from_config
 from muvo_tpu.geometry.range_view import RangeProjector
-from muvo_tpu.geometry.voxel import decode_depth, densify_voxels
+from muvo_tpu.geometry.voxel import densify_voxels
 
 
 def _label_connected_components(mask: np.ndarray) -> np.ndarray:

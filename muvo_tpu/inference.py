@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from muvo_tpu.constants import CARLA_FPS
-from muvo_tpu.utils.network import pack_sequence_dim, remove_past
+from muvo_tpu.utils.network import remove_past
 
 
 class LatentCarry(NamedTuple):

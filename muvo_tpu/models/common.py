@@ -8,7 +8,7 @@ muvo/models/mile.py:104-161.  Layout is NHWC.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

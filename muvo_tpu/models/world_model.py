@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from muvo_tpu.constants import CARLA_FPS
 from muvo_tpu.models.backbones.resnet import build_backbone
 from muvo_tpu.models.common import (
     BevDownSample4,

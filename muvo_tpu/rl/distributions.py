@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, digamma, gammaln
+from jax.scipy.special import betaln, digamma
 
 
 def _sum_dims(x):

@@ -11,8 +11,6 @@ import os
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional
 
-import numpy as np
-
 from muvo_tpu.sim.env import CarlaMultiAgentEnv
 
 WEATHER_GROUPS = {

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from muvo_tpu.constants import SEMANTIC_SEG_WEIGHTS, VOXEL_SEG_WEIGHTS
 from muvo_tpu.losses import (
-    chamfer_distance_loss,
     geo_scal_loss,
     kl_loss,
     regression_loss,

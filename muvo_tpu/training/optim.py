@@ -8,8 +8,6 @@ final_div_factor 1e4), optax.MultiSteps for ACCUMULATE_GRAD_BATCHES.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import optax
 

@@ -9,13 +9,12 @@ all-reduce over ICI. Mixed precision is bf16 compute / fp32 params+optimizer.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from muvo_tpu.config import as_static
 from muvo_tpu.models.preprocess import PreProcess

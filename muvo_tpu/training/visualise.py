@@ -15,7 +15,6 @@ import numpy as np
 from muvo_tpu.visualisation import (
     convert_bev_to_image,
     denormalise_image,
-    hstack_pad,
     range_view_to_image,
     sequence_strip,
     voxel_to_bev_image,
