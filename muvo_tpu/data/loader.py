@@ -57,27 +57,54 @@ class DataLoader:
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def _iter_threaded(self, indices, n_batches):
-        q: "queue.Queue" = queue.Queue(maxsize=4)
+        """N decode threads (PIL/ctypes release the GIL) feeding an ordered
+        output queue so batch order stays deterministic."""
+        n_workers = max(1, self.num_workers)
+        task_q: "queue.Queue" = queue.Queue()
+        results: dict = {}
+        results_lock = threading.Lock()
+        results_ready = threading.Condition(results_lock)
+
+        batches = []
+        for b in range(n_batches):
+            chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            batches.append((b, chunk))
+        for item in batches:
+            task_q.put(item)
+        for _ in range(n_workers):
+            task_q.put(None)
 
         def worker():
-            try:
-                for b in range(n_batches):
-                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    if self.drop_last and len(chunk) < self.batch_size:
-                        break
+            while True:
+                task = task_q.get()
+                if task is None:
+                    break
+                b, chunk = task
+                try:
                     items = [self.dataset[i] for i in chunk]
-                    q.put({k: np.stack([it[k] for it in items])
-                           for k in items[0]})
-            finally:
-                q.put(None)
+                    batch = {k: np.stack([it[k] for it in items])
+                             for k in items[0]}
+                except Exception as e:  # surface errors to the consumer
+                    batch = e
+                with results_ready:
+                    results[b] = batch
+                    results_ready.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+
+        for b in range(len(batches)):
+            with results_ready:
+                while b not in results:
+                    results_ready.wait()
+                batch = results.pop(b)
+            if isinstance(batch, Exception):
+                raise batch
+            yield batch
 
 
 def device_prefetch(iterator, mesh, size: int = 2):
