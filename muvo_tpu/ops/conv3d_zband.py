@@ -96,6 +96,132 @@ def conv3d_zblock(x, kernel, bias=None, block: int = 16):
     return y
 
 
+def conv3d_zblock_halofree(x, kernel, bias=None, block: int = 16):
+    """z-blocked conv3d without overlapped-input materialisation.
+
+    The main grouped conv uses non-overlapping z-blocks (banded weights
+    within each block); the two cross-block taps (first/last z slice of each
+    block) are added by a small grouped correction conv over the boundary
+    slices. Saves the (f+2)/f input duplication and its layout copies that
+    dominated the overlapped formulation.
+    """
+    b, X, Y, Z, C = x.shape
+    _, _, _, _, Cout = kernel.shape
+    f = block
+    assert Z % f == 0
+    zb = Z // f
+    dtype = x.dtype
+
+    # ---- main: banded weights within each z-block --------------------
+    W = jnp.zeros((3, 3, f, C, f, Cout), dtype)
+    for dz in range(3):
+        j0 = max(0, 1 - dz)          # first valid output z in the block
+        j1 = min(f, f + 1 - dz)      # one past the last valid output z
+        idx_j = jnp.arange(j0, j1)
+        idx_i = idx_j + dz - 1       # input z within the block
+        W = W.at[:, :, idx_i, :, idx_j, :].add(
+            kernel[:, :, dz].astype(dtype)[None]
+        )
+    Wg = jnp.tile(W.reshape(3, 3, f * C, f * Cout), (1, 1, 1, zb))
+    xb = x.reshape(b, X, Y, zb * f * C)
+    y = jax.lax.conv_general_dilated(
+        xb, Wg, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=zb,
+    ).reshape(b, X, Y, zb, f, Cout)
+
+    # ---- boundary corrections ----------------------------------------
+    # out z=0 of block j also needs input z=f-1 of block j-1 (dz index 0);
+    # out z=f-1 of block j also needs input z=0 of block j+1 (dz index 2).
+    x5 = x.reshape(b, X, Y, zb, f, C)
+    prev_last = jnp.concatenate(
+        [jnp.zeros_like(x5[:, :, :, :1, 0, :]), x5[:, :, :, :-1, f - 1, :]],
+        axis=3,
+    )  # (b, X, Y, zb, C): last slice of the previous block
+    next_first = jnp.concatenate(
+        [x5[:, :, :, 1:, 0, :], jnp.zeros_like(x5[:, :, :, :1, 0, :])],
+        axis=3,
+    )  # first slice of the next block
+    corr_in = jnp.concatenate([prev_last, next_first], axis=-1)  # (...,zb,2C)
+    Wc = jnp.concatenate(
+        [
+            # prev_last -> out z=0 uses kernel dz=0; contributes to out idx 0
+            jnp.concatenate([kernel[:, :, 0].astype(dtype),
+                             jnp.zeros((3, 3, C, Cout), dtype)], axis=-1),
+            # next_first -> out z=f-1 uses kernel dz=2; out idx 1
+            jnp.concatenate([jnp.zeros((3, 3, C, Cout), dtype),
+                             kernel[:, :, 2].astype(dtype)], axis=-1),
+        ],
+        axis=2,
+    )  # (3, 3, 2C, 2Cout)
+    corr = jax.lax.conv_general_dilated(
+        corr_in.reshape(b, X, Y, zb * 2 * C), jnp.tile(Wc, (1, 1, 1, zb)),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=zb,
+    ).reshape(b, X, Y, zb, 2, Cout)
+
+    y = y.at[:, :, :, :, 0, :].add(corr[:, :, :, :, 0, :])
+    y = y.at[:, :, :, :, f - 1, :].add(corr[:, :, :, :, 1, :])
+    y = y.reshape(b, X, Y, Z, Cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def conv3d_zblock_ext(x, kernel, bias=None, block: int = 16):
+    """z-blocked conv3d with boundary taps folded into the main grouped conv.
+
+    Per-block input channels are [f z-slices | prev-block last slice |
+    next-block first slice] = (f+2)*C, built from cheap slice concats (no
+    overlapped-window stacking, no scatter adds). Exactly one grouped conv.
+    """
+    b, X, Y, Z, C = x.shape
+    _, _, _, _, Cout = kernel.shape
+    f = block
+    assert Z % f == 0
+    zb = Z // f
+    dtype = x.dtype
+
+    x5 = x.reshape(b, X, Y, zb, f * C)
+    x6 = x.reshape(b, X, Y, zb, f, C)
+    prev_last = jnp.concatenate(
+        [jnp.zeros_like(x6[:, :, :, :1, 0, :]), x6[:, :, :, :-1, f - 1, :]],
+        axis=3,
+    )
+    next_first = jnp.concatenate(
+        [x6[:, :, :, 1:, 0, :], jnp.zeros_like(x6[:, :, :, :1, 0, :])],
+        axis=3,
+    )
+    xb = jnp.concatenate([x5, prev_last, next_first], axis=-1)
+    xb = xb.reshape(b, X, Y, zb * (f + 2) * C)
+
+    # in-block band
+    W = jnp.zeros((3, 3, f + 2, C, f, Cout), dtype)
+    for dz in range(3):
+        j0 = max(0, 1 - dz)
+        j1 = min(f, f + 1 - dz)
+        idx_j = jnp.arange(j0, j1)
+        idx_i = idx_j + dz - 1
+        W = W.at[:, :, idx_i, :, idx_j, :].add(
+            kernel[:, :, dz].astype(dtype)[None]
+        )
+    # boundary rows: prev_last (channel block f) -> out z=0 with dz=0;
+    # next_first (channel block f+1) -> out z=f-1 with dz=2
+    W = W.at[:, :, f, :, 0, :].add(kernel[:, :, 0].astype(dtype))
+    W = W.at[:, :, f + 1, :, f - 1, :].add(kernel[:, :, 2].astype(dtype))
+    Wg = jnp.tile(W.reshape(3, 3, (f + 2) * C, f * Cout), (1, 1, 1, zb))
+
+    y = jax.lax.conv_general_dilated(
+        xb, Wg, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=zb,
+    ).reshape(b, X, Y, Z, Cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class Conv3dZBand(nn.Module):
     """Drop-in 3x3x3 'SAME' conv3d with z-folded MXU lowering.
 
