@@ -58,8 +58,19 @@ def main():
     print(f"Model parameters: {n_params / 1e6:.2f}M")
 
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
-    restored = ckpt.restore(template=state)
     start_step = 0
+    # resume: own run dir first, else an explicit checkpoint dir / torch ckpt
+    restored = ckpt.restore(template=state)
+    if restored is None and cfg.PRETRAINED.PATH:
+        path = cfg.PRETRAINED.PATH
+        if os.path.isdir(path):
+            restored = CheckpointManager(path).restore(template=state)
+        elif path.endswith((".ckpt", ".pt", ".pth")) and os.path.isfile(path):
+            from muvo_tpu.training.weight_convert import load_reference_weights
+
+            params = load_reference_weights(path, state.params, cfg)
+            state = state._replace(params=params)
+            print(f"Loaded converted reference weights from {path}")
     if restored is not None:
         from muvo_tpu.training.trainer import TrainState
 
