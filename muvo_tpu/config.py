@@ -249,6 +249,9 @@ def _build_defaults() -> CfgNode:
     c.POINTS.CHANNELS = 64
     c.POINTS.N_PER_SECOND = 600000
     c.POINTS.HORIZON_RESOLUTION = 1024
+    # Build LiDAR range views on-device from raw padded points inside the
+    # jitted step (fused preprocessing; TPU-specific extension key).
+    c.POINTS.DEVICE_PROJECTION = False
     c.POINTS.HISTOGRAM = CfgNode()
     c.POINTS.HISTOGRAM.RESOLUTION = 10
     c.POINTS.HISTOGRAM.HIST_MAX = 5

@@ -163,13 +163,25 @@ class CarlaDataset:
         inside = ((ego_box[0] < points) & (points < ego_box[1])).all(axis=1)
         points, semantics = points[~inside], semantics[~inside]
 
-        rd, rxyz, rsem = self.pcd.project(points, semantics)
-        if cfg.MODEL.LIDAR.ENABLED:
-            out["range_view_pcd_xyzd"] = np.concatenate(
-                [rxyz, rd[..., None]], axis=-1
-            ).astype(np.float32)
-        if cfg.LIDAR_SEG.ENABLED:
-            out["range_view_pcd_seg"] = rsem[..., None].astype(np.int32)
+        if cfg.POINTS.DEVICE_PROJECTION:
+            # ship fixed-capacity raw points; projection happens on device
+            max_pts = int(cfg.POINTS.N_PER_SECOND / CARLA_FPS)
+            fixed = np.zeros((max_pts, 3), np.float32)
+            fixed_sem = np.zeros((max_pts,), np.int32)
+            n = min(points.shape[0], max_pts)
+            fixed[:n] = points[:n]
+            fixed_sem[:n] = semantics[:n]
+            out["points_raw"] = fixed
+            out["points_sem"] = fixed_sem
+            out["num_points"] = np.int32(n)
+        else:
+            rd, rxyz, rsem = self.pcd.project(points, semantics)
+            if cfg.MODEL.LIDAR.ENABLED:
+                out["range_view_pcd_xyzd"] = np.concatenate(
+                    [rxyz, rd[..., None]], axis=-1
+                ).astype(np.float32)
+            if cfg.LIDAR_SEG.ENABLED:
+                out["range_view_pcd_seg"] = rsem[..., None].astype(np.int32)
 
         if cfg.MODEL.LIDAR.POINT_PILLAR.ENABLED:
             max_pts = int(cfg.POINTS.N_PER_SECOND / CARLA_FPS)

@@ -52,10 +52,19 @@ def synthetic_batch(cfg, batch_size: int = 1, sequence_length: int = None,
             0, 4, (b, s, bev_h, bev_w, 1), dtype=np.int32
         )
 
-    if cfg.MODEL.LIDAR.ENABLED or cfg.LIDAR_RE.ENABLED:
+    if cfg.POINTS.DEVICE_PROJECTION:
+        n_pts = 4096
+        pts = rng.uniform(-40, 40, (b, s, n_pts, 3)).astype(np.float32)
+        pts[..., 2] = rng.uniform(0, 6, (b, s, n_pts))
+        batch["points_raw"] = pts
+        batch["num_points"] = np.full((b, s), n_pts, np.int32)
+        batch["points_sem"] = rng.randint(
+            0, cfg.LIDAR_SEG.N_CLASSES, (b, s, n_pts), dtype=np.int32
+        )
+    elif cfg.MODEL.LIDAR.ENABLED or cfg.LIDAR_RE.ENABLED:
         rv = rng.uniform(0, 50, (b, s, lidar_h, lidar_w, 4)).astype(np.float32)
         batch["range_view_pcd_xyzd"] = rv
-    if cfg.LIDAR_SEG.ENABLED:
+    if cfg.LIDAR_SEG.ENABLED and not cfg.POINTS.DEVICE_PROJECTION:
         batch["range_view_pcd_seg"] = rng.randint(
             0, cfg.LIDAR_SEG.N_CLASSES, (b, s, lidar_h, lidar_w, 1), dtype=np.int32
         )

@@ -183,6 +183,11 @@ class PreProcess:
                     batch[f"depth_label_{k // 2}"], h // k, w // k
                 )
 
+        if (cfg.POINTS.DEVICE_PROJECTION
+                and "range_view_pcd_xyzd" not in batch
+                and "points_raw" in batch):
+            batch = self._device_range_projection(batch)
+
         if cfg.LIDAR_RE.ENABLED and "range_view_pcd_xyzd" in batch:
             rv = batch["range_view_pcd_xyzd"].astype(jnp.float32) / cfg.LIDAR_RE.SCALE
             batch["range_view_pcd_xyzd"] = rv
@@ -197,6 +202,44 @@ class PreProcess:
                 batch[f"voxel_label_{k}"] = _nearest_resize_voxel(
                     batch[f"voxel_label_{k // 2}"], 2
                 )
+        return batch
+
+    # ------------------------------------------------------------------
+    def _device_range_projection(self, batch):
+        """Fused on-device range-view construction from raw padded points.
+
+        Replaces the host-side projection in the dataloader (BASELINE north
+        star: the range projection becomes a fused XLA op feeding
+        device-resident batches). Requires points_raw (b, s, P, 3),
+        num_points (b, s) and — for LIDAR_SEG — points_sem (b, s, P).
+        """
+        from muvo_tpu.geometry.range_view import RangeProjector
+
+        cfg = self.cfg
+        proj = RangeProjector(
+            cfg.POINTS.CHANNELS, cfg.POINTS.HORIZON_RESOLUTION,
+            cfg.POINTS.FOV[0], cfg.POINTS.FOV[1], cfg.POINTS.LIDAR_POSITION,
+        )
+        pts = batch["points_raw"]
+        b, s, p, _ = pts.shape
+        num = batch["num_points"].reshape(b * s)
+        sems = batch.get("points_sem")
+        sems = (sems.reshape(b * s, p) if sems is not None
+                else jnp.zeros((b * s, p), jnp.int32))
+        valid = jnp.arange(p)[None, :] < num[:, None]
+
+        def one(points, sem, val):
+            return proj.project_jax(points, sem, valid=val)
+
+        depth, xyz, sem = jax.vmap(one)(
+            pts.reshape(b * s, p, 3), sems, valid
+        )
+        h, w = proj.h, proj.w
+        batch["range_view_pcd_xyzd"] = jnp.concatenate(
+            [xyz, depth[..., None]], axis=-1
+        ).reshape(b, s, h, w, 4)
+        if cfg.LIDAR_SEG.ENABLED:
+            batch["range_view_pcd_seg"] = sem.reshape(b, s, h, w)[..., None]
         return batch
 
     # ------------------------------------------------------------------
