@@ -216,6 +216,9 @@ def _build_defaults() -> CfgNode:
     c.LOGGING_INTERVAL = 500
     c.LIMIT_VAL_BATCHES = 1
     c.LOG_VIDEO_INTERVAL = 5000
+    # capture a jax.profiler trace of this many steps (0 = off); the trace
+    # lands in <log_dir>/profile for tensorboard/xprof (SURVEY §5.1)
+    c.PROFILE_STEPS = 0
 
     c.RECEPTIVE_FIELD = 1
     c.FUTURE_HORIZON = 1

@@ -82,6 +82,13 @@ def main():
     eval_step = trainer.make_eval_step()
     rng = jax.random.PRNGKey(42)
 
+    from muvo_tpu.training.optim import make_schedule
+
+    schedule = make_schedule(cfg)
+    # profiler window: trace steps [3, 3+PROFILE_STEPS) once compiled+warm
+    profile_start = 3 if cfg.PROFILE_STEPS else -1
+    profile_stop = profile_start + cfg.PROFILE_STEPS
+
     timer = StepTimer()
     step = start_step
     frames_per_step = cfg.BATCHSIZE * seq_len
@@ -89,15 +96,23 @@ def main():
         for batch in device_prefetch(iter(train_loader), mesh):
             if step >= cfg.STEPS:
                 break
+            if step == profile_start:
+                jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             state, metrics = train_step(state, batch, rng)
             step += 1
             timer.tick()
+            if step == profile_stop and profile_start > 0:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace saved to {log_dir}/profile")
 
             if step % cfg.LOGGING_INTERVAL == 0 or step <= 2:
                 scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 scalars["fps_per_chip"] = timer.frames_per_second(
                     frames_per_step, jax.device_count()
                 )
+                scalars["lr"] = float(schedule(step)) if callable(schedule) \
+                    else float(schedule)
                 logger.log(step, scalars, prefix="train")
                 print(f"step {step}: loss={scalars['loss']:.4f} "
                       f"fps/chip={scalars['fps_per_chip']:.2f}")
