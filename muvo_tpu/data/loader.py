@@ -27,7 +27,8 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sampler = list(sampler) if sampler is not None else None
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         self.drop_last = drop_last
         self.num_workers = num_workers
 
@@ -35,28 +36,38 @@ class DataLoader:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Select the deterministic shuffle for this epoch (resume support:
+        same (seed, epoch) always yields the same batch order)."""
+        self.epoch = int(epoch)
+
     def _indices(self):
         if self.sampler is not None:
             return list(self.sampler)
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         return idx.tolist()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate this epoch's batches, skipping the first `start_batch`
+        without decoding them (preemption-safe resume mid-epoch)."""
         indices = self._indices()
         n_batches = len(self)
         if self.num_workers > 0:
-            yield from self._iter_threaded(indices, n_batches)
+            yield from self._iter_threaded(indices, n_batches, start_batch)
             return
-        for b in range(n_batches):
+        for b in range(start_batch, n_batches):
             chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             items = [self.dataset[i] for i in chunk]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
-    def _iter_threaded(self, indices, n_batches):
+    def _iter_threaded(self, indices, n_batches, start_batch: int = 0):
         """N decode threads (PIL/ctypes release the GIL) feeding an ordered
         output queue so batch order stays deterministic."""
         n_workers = max(1, self.num_workers)
@@ -66,11 +77,11 @@ class DataLoader:
         results_ready = threading.Condition(results_lock)
 
         batches = []
-        for b in range(n_batches):
+        for b in range(start_batch, n_batches):
             chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            batches.append((b, chunk))
+            batches.append((len(batches), chunk))  # consumer keys are 0-based
         for item in batches:
             task_q.put(item)
         for _ in range(n_workers):

@@ -111,3 +111,40 @@ def test_route_deviation_invalidates(tmp_path):
     valid = writer.close({"traffic_rule_violated": False, "blocked": False,
                           "route_deviation": True}, remove_final_steps=False)
     assert not valid
+
+
+class _ArrayDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.array([i], np.int32)}
+
+
+def _order(batches):
+    return [int(v) for b in batches for v in b["x"].ravel()]
+
+
+def test_loader_epoch_deterministic_and_resumable():
+    from muvo_tpu.data.loader import DataLoader
+
+    ds = _ArrayDataset(17)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=3)
+    loader.set_epoch(1)
+    first = _order(loader)
+    again = _order(loader)
+    assert first == again  # same (seed, epoch) -> same order
+    loader.set_epoch(2)
+    assert _order(loader) != first  # epoch reshuffles
+
+    # iter_from(k) is the tail of the full epoch, incl. threaded decode
+    loader.set_epoch(1)
+    tail = _order(loader.iter_from(2))
+    assert _order(iter(loader))[2 * 4:] == tail
+    threaded = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                          num_workers=2)
+    threaded.set_epoch(1)
+    assert _order(threaded.iter_from(2)) == tail

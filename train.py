@@ -92,8 +92,14 @@ def main():
     timer = StepTimer()
     step = start_step
     frames_per_step = cfg.BATCHSIZE * seq_len
+    # resumable iterator state: (seed, epoch)-deterministic shuffle lets a
+    # restored run skip to the exact batch it stopped at (SURVEY §5.3)
+    steps_per_epoch = max(1, len(train_loader))
+    epoch = start_step // steps_per_epoch
+    skip = start_step % steps_per_epoch
     while step < cfg.STEPS:
-        for batch in device_prefetch(iter(train_loader), mesh):
+        train_loader.set_epoch(epoch)
+        for batch in device_prefetch(train_loader.iter_from(skip), mesh):
             if step >= cfg.STEPS:
                 break
             if step == profile_start:
@@ -143,6 +149,8 @@ def main():
                 logger.log(step, val_metrics, prefix="val0")
                 ckpt.save(step, jax.device_get(state),
                           cfg_dict=cfg.convert_to_dict())
+        epoch += 1
+        skip = 0
 
     ckpt.save(step, jax.device_get(state), cfg_dict=cfg.convert_to_dict())
     ckpt.wait()
