@@ -12,6 +12,7 @@ from muvo_tpu.models.preprocess import PreProcess
 def test_device_projection_matches_host():
     cfg = tiny_test_cfg()
     cfg.POINTS.DEVICE_PROJECTION = True
+    cfg.LIDAR_SEG.ENABLED = True
     batch = synthetic_batch(cfg, 1, 2)
     assert "points_raw" in batch and "range_view_pcd_xyzd" not in batch
 
@@ -20,6 +21,7 @@ def test_device_projection_matches_host():
     pb = jax.jit(lambda b: pre(b, training=False))(jb)
     assert pb["range_view_pcd_xyzd"].shape == (1, 2, 64, 128, 4)
     assert "range_view_label_2" in pb
+    assert pb["range_view_pcd_seg"].shape == (1, 2, 64, 128, 1)
 
     # host projection of the same points for frame (0, 0)
     proj = RangeProjector(cfg.POINTS.CHANNELS, cfg.POINTS.HORIZON_RESOLUTION,
