@@ -347,6 +347,9 @@ def _build_defaults() -> CfgNode:
     # Rematerialise decoder activations in backward (trades FLOPs for HBM,
     # enabling larger per-chip batches). TPU-specific extension key.
     c.MODEL.REMAT = False
+    # Also rematerialise the image/lidar encoder backbones (frees their
+    # feature maps from HBM at the cost of a second forward in backward).
+    c.MODEL.REMAT_ENCODER = False
     c.MODEL.TRANSITION = CfgNode()
     c.MODEL.TRANSITION.ENABLED = True
     c.MODEL.TRANSITION.HIDDEN_STATE_DIM = 1024

@@ -96,24 +96,35 @@ class ResNetFeatures(nn.Module):
         return [feats[i] for i in self.out_indices]
 
 
-def build_backbone(name: str, out_indices: Sequence[int] = (2, 3, 4)):
-    """Backbone registry. Returns (module, feature_info list)."""
+def build_backbone(name: str, out_indices: Sequence[int] = (2, 3, 4),
+                   remat: bool = False):
+    """Backbone registry. Returns (module, feature_info list).
+
+    remat=True wraps the backbone in nn.remat so its activations are
+    recomputed in the backward pass (frees encoder feature maps from HBM).
+    """
     out_indices = tuple(out_indices)
     if name == "resnet18":
+        cls = (nn.remat(ResNetFeatures, static_argnums=(2,))
+           if remat else ResNetFeatures)
         return (
-            ResNetFeatures(out_indices=out_indices, layers=(2, 2, 2, 2)),
+            cls(out_indices=out_indices, layers=(2, 2, 2, 2)),
             ResNetFeatures.feature_info(out_indices),
         )
     if name == "resnet34":
+        cls = (nn.remat(ResNetFeatures, static_argnums=(2,))
+           if remat else ResNetFeatures)
         return (
-            ResNetFeatures(out_indices=out_indices, layers=(3, 4, 6, 3)),
+            cls(out_indices=out_indices, layers=(3, 4, 6, 3)),
             ResNetFeatures.feature_info(out_indices),
         )
     if name.startswith("mobilevit"):
         from muvo_tpu.models.backbones.mobilevit import MobileViTV2Features
 
+        cls = (nn.remat(MobileViTV2Features, static_argnums=(2,))
+           if remat else MobileViTV2Features)
         return (
-            MobileViTV2Features(out_indices=out_indices),
+            cls(out_indices=out_indices),
             MobileViTV2Features.feature_info(out_indices),
         )
     raise ValueError(f"Unknown backbone: {name}")

@@ -53,8 +53,12 @@ class MuvoWorldModel(nn.Module):
         self.receptive_field = cfg.RECEPTIVE_FIELD
 
         # ---- encoders ------------------------------------------------
+        try:
+            remat_enc = bool(cfg.MODEL.REMAT_ENCODER)
+        except AttributeError:
+            remat_enc = False
         self.encoder, self.encoder_info = build_backbone(
-            cfg.MODEL.ENCODER.NAME, out_indices=(2, 3, 4)
+            cfg.MODEL.ENCODER.NAME, out_indices=(2, 3, 4), remat=remat_enc
         )
 
         if cfg.MODEL.TRANSFORMER.ENABLED:
@@ -83,12 +87,14 @@ class MuvoWorldModel(nn.Module):
                 if cfg.MODEL.LIDAR.POINT_PILLAR.ENABLED:
                     self.point_pillars = PointPillarNet()
                     self.lidar_encoder, _ = build_backbone(
-                        cfg.MODEL.LIDAR.ENCODER, out_indices=(2, 3, 4)
+                        cfg.MODEL.LIDAR.ENCODER, out_indices=(2, 3, 4),
+                        remat=remat_enc,
                     )
                     self.lidar_decoder = decoder_cls(tf_c)
                 else:
                     self.lidar_encoder, _ = build_backbone(
-                        cfg.MODEL.LIDAR.ENCODER, out_indices=(2, 3, 4)
+                        cfg.MODEL.LIDAR.ENCODER, out_indices=(2, 3, 4),
+                        remat=remat_enc,
                     )
                     self.lidar_decoder = decoder_cls(tf_c)
 

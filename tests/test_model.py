@@ -97,3 +97,19 @@ def test_preprocess_pyramids(setup):
     assert float(jnp.abs(pb["image"]).max()) < 10.0
     # range view scaled by LIDAR_RE.SCALE
     assert float(pb["range_view_pcd_xyzd"].max()) <= 50.0 / cfg.LIDAR_RE.SCALE + 1e-5
+
+
+def test_remat_matches_plain_forward(setup):
+    """nn.remat on decoders+encoders must be semantics-preserving."""
+    cfg, model, variables, pb, out, _ = setup
+    rcfg = tiny_test_cfg()
+    rcfg.MODEL.REMAT = True
+    rcfg.MODEL.REMAT_ENCODER = True
+    rmodel = MuvoWorldModel(as_static(rcfg))
+    rout, _ = jax.jit(
+        lambda v, b, r: rmodel.apply(v, b, training=False, rng=r)
+    )(variables, pb, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(rout["rgb_1"]),
+                               np.asarray(out["rgb_1"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rout["voxel_1"]),
+                               np.asarray(out["voxel_1"]), atol=1e-5)
