@@ -36,8 +36,9 @@ def run_and_trace(trace_dir: str):
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "muvo_tpu/configs/muvo.yml")
     )
-    cfg.BATCHSIZE = 2 * max(1, len(jax.devices()))
+    cfg.BATCHSIZE = 4 * max(1, len(jax.devices()))
     cfg.MODEL.REMAT = True
+    cfg.MODEL.REMAT_ENCODER = True
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
 
     mesh = make_mesh()
