@@ -136,9 +136,25 @@ def psnr_batch(prediction, target, max_pixel_val=1.0):
 
 def chamfer_batch(prediction, target):
     """Symmetric Chamfer over (B, N, D) point sets, halved like the reference
-    CDMetric (muvo/metrics.py:238-258)."""
-    diff = prediction[:, :, None, :] - target[:, None, :, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff ** 2, axis=-1), 1e-12))
-    dl = dist.min(axis=1).mean(axis=1)
-    dr = dist.min(axis=2).mean(axis=1)
-    return ((dl + dr) / 2).mean()
+    CDMetric (muvo/metrics.py:238-258, torch.cdist p=2).
+
+    Matmul (Gram) form instead of an explicit (B, N, M, D) difference tensor:
+    the pairwise matrix rides the MXU and peak memory is one (N, M) slab per
+    sample (lax.map over the batch) — at the reference's 10,000 sampled
+    points that is 400 MB instead of 4.8 GB+.
+    """
+    p = prediction.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+
+    def one(args):
+        pi, ti = args  # (N, D), (M, D)
+        p2 = jnp.sum(pi ** 2, axis=-1)  # (N,)
+        t2 = jnp.sum(ti ** 2, axis=-1)  # (M,)
+        g = pi @ ti.T  # (N, M) on the MXU
+        d2 = p2[:, None] + t2[None, :] - 2.0 * g
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        dl = dist.min(axis=0).mean()  # target -> nearest prediction
+        dr = dist.min(axis=1).mean()  # prediction -> nearest target
+        return (dl + dr) / 2
+
+    return jax.lax.map(one, (p, t)).mean()

@@ -71,10 +71,10 @@ class MetricSuite:
             b, s, h, w, c = pred.shape
             pcd_t = target.reshape(b * s, h * w, c)[..., :-1]
             pcd_p = pred.reshape(b * s, h * w, c)[..., :-1]
-            # subsample points like the reference (10k random columns)
-            n = min(2048, h * w)
+            # subsample 10,000 random columns with replacement, matching the
+            # reference exactly (muvo/trainer.py:453 np.random.randint)
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            idx = jax.random.randint(rng, (n,), 0, h * w)
+            idx = jax.random.randint(rng, (10000,), 0, h * w)
             self.state["cd"] = M.mean_update(
                 self.state["cd"],
                 M.chamfer_batch(pcd_p[:, idx], pcd_t[:, idx]),

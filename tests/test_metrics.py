@@ -60,3 +60,22 @@ def test_psnr_known_value():
 def test_chamfer_identical_zero():
     pts = jnp.asarray(np.random.RandomState(0).randn(2, 16, 3), jnp.float32)
     assert float(M.chamfer_batch(pts, pts)) < 1e-4
+
+
+def test_chamfer_matches_torch_cdist_reference():
+    """chamfer_batch must reproduce the reference CDMetric computation
+    (muvo/metrics.py:238-258): torch.cdist p=2, per-side mean over points,
+    halved sum, then mean over the batch."""
+    import torch
+
+    rs = np.random.RandomState(7)
+    pred = rs.randn(3, 25, 3).astype(np.float32)
+    target = rs.randn(3, 31, 3).astype(np.float32) * 2.0 + 0.5
+
+    tp, tt = torch.from_numpy(pred), torch.from_numpy(target)
+    dist = torch.cdist(tp, tt, 2)
+    dl, dr = dist.min(1)[0], dist.min(2)[0]
+    expected = ((dl.mean(dim=1) + dr.mean(dim=1)) / 2).mean().item()
+
+    got = float(M.chamfer_batch(jnp.asarray(pred), jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
