@@ -94,18 +94,26 @@ class CarlaDataset:
         return len(self.data_pointers)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        run_id, indices = self.data_pointers[i]
-        frames = []
-        for t in indices:
-            try:
-                frames.append(self._load_frame(run_id, t))
-            except Exception:
-                print(f"{run_id}, {t} data is invalid")
-                continue
-        batch: Dict[str, np.ndarray] = {}
-        for k in frames[0]:
-            batch[k] = np.stack([f[k] for f in frames])
-        return batch
+        # The reference skips a corrupt frame and returns a short sequence
+        # (dataset.py:217-221). Under jit a short sequence changes the batch
+        # shape — recompile or crash — so instead a bad frame falls back to a
+        # neighbouring sample, keeping every batch full-shape.
+        for attempt in range(len(self.data_pointers)):
+            j = (i + attempt) % len(self.data_pointers)
+            run_id, indices = self.data_pointers[j]
+            frames = []
+            for t in indices:
+                try:
+                    frames.append(self._load_frame(run_id, t))
+                except Exception:
+                    print(f"{run_id}, {t} data is invalid")
+                    break
+            if len(frames) == len(indices):
+                batch: Dict[str, np.ndarray] = {}
+                for k in frames[0]:
+                    batch[k] = np.stack([f[k] for f in frames])
+                return batch
+        raise RuntimeError("every sequence in the dataset has an invalid frame")
 
     # ------------------------------------------------------------------
     def _load_frame(self, run_id: str, t: int) -> Dict[str, np.ndarray]:

@@ -148,3 +148,34 @@ def test_loader_epoch_deterministic_and_resumable():
                           num_workers=2)
     threaded.set_epoch(1)
     assert _order(threaded.iter_from(2)) == tail
+
+
+def test_corrupt_frame_resamples_full_shape(tmp_path):
+    """A corrupt frame must not shrink the sequence (VERDICT r1 item 10):
+    the loader falls back to a neighbouring pointer and every batch keeps
+    the full (seq, ...) shape the jitted step was compiled for."""
+    cfg = tiny_test_cfg()
+    cfg.VOXEL_SEG.ENABLED = False
+    cfg.SEMANTIC_SEG.ENABLED = False
+    cfg.DATASET.FILTER_BEGINNING_OF_RUN_SEC = 0.0
+    cfg.DATASET.FILTER_NORM_REWARD = 0.6
+
+    run_dir = tmp_path / "trainval" / "train" / "Town01" / "0000"
+    writer = write_episode(str(run_dir), 8)
+    assert writer.close({"traffic_rule_violated": False, "blocked": False,
+                         "route_deviation": False}, remove_final_steps=True)
+
+    ds = CarlaDataset(cfg, mode="train", sequence_length=2,
+                      dataset_root=str(tmp_path))
+    assert len(ds) > 1
+    # corrupt the frame used by pointer 0's first index
+    run_id, indices = ds.data_pointers[0]
+    row = ds.data[run_id].iloc[indices[0]]
+    victim = os.path.join(str(tmp_path), "trainval", "train", run_id,
+                          row["image_path"])
+    with open(victim, "wb") as f:
+        f.write(b"not a png")
+
+    item = ds[0]  # falls through to pointer 1
+    assert item["image"].shape == (2, 96, 160, 3)
+    assert item["range_view_pcd_xyzd"].shape == (2, 64, 128, 4)
