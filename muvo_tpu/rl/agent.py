@@ -103,6 +103,15 @@ class RlBirdviewAgent:
 
     def run_step(self, input_data: Dict, timestamp=None):
         policy_input = process_obs(input_data, self.input_states, train=False)
+        if self.params is None:
+            # No checkpoint given: initialise from the first observation so
+            # collection still runs (an untrained expert — warn once).
+            print("RlBirdviewAgent: no policy checkpoint, using random init")
+            self.params = self.policy.init(
+                jax.random.PRNGKey(0),
+                jnp.asarray(policy_input["birdview"]),
+                jnp.asarray(policy_input["state"]), jax.random.PRNGKey(1),
+            )
         self._rng, key = jax.random.split(self._rng)
         actions, values, log_probs, p1, p2 = self._forward(
             self.params, jnp.asarray(policy_input["birdview"]),

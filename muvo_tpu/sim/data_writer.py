@@ -62,7 +62,11 @@ class DataWriter:
                 "gnss": obs_ev.get("gnss", {}),
                 "speed": obs_ev.get("speed"),
                 "route_plan": obs_ev.get("route_plan"),
-                "birdview": (obs_ev.get("birdview_label")
+                # prefer the label render when requested, but fall back to
+                # the training birdview for envs that don't produce it
+                # (e.g. the CARLA-free kinematic env)
+                "birdview": ((obs_ev.get("birdview_label")
+                              or obs_ev.get("birdview"))
                              if self.save_birdview_label
                              else obs_ev.get("birdview")),
                 "point_cloud_semantic": obs_ev.get("lidar_points_semantic"),

@@ -202,11 +202,17 @@ class CarlaMultiAgentEnv(gym.Env):
         self._sa_handler.reset(
             self._task.get("scenario_actors", {}), self._ev_handler.ego_vehicles
         )
+        # suite configs may give [min, max] ranges (config/test_suites/
+        # lb_data.yaml); sample per episode like the reference env
+        def _n(v):
+            return (int(np.random.randint(v[0], v[1]))
+                    if isinstance(v, (list, tuple)) else int(v))
+
         self._zw_handler.reset(
-            self._task["num_zombie_walkers"], ev_spawn_locations
+            _n(self._task["num_zombie_walkers"]), ev_spawn_locations
         )
         self._zv_handler.reset(
-            self._task["num_zombie_vehicles"], ev_spawn_locations
+            _n(self._task["num_zombie_vehicles"]), ev_spawn_locations
         )
         self._om_handler.reset(self._ev_handler.ego_vehicles)
 
