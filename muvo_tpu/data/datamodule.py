@@ -14,6 +14,26 @@ from muvo_tpu.data.dataset import make_dataset
 from muvo_tpu.data.loader import DataLoader
 
 
+def make_val_samplers(lengths: List[int]) -> List[range]:
+    """The reference's three strided validation samplers
+    (muvo/data/dataset.py:44-52)."""
+    return [
+        range(0, lengths[0], 50),
+        range(min(1500, max(0, lengths[1] - 1)), lengths[1], 50),
+        range(min(3000, max(0, lengths[2] - 1)), lengths[2], 50),
+    ]
+
+
+def make_test_samplers(n: int) -> List[range]:
+    """The reference's three strided test samplers over the train split
+    (muvo/data/dataset.py:54-68)."""
+    return [
+        range(0, n, 900),
+        range(min(1500, max(0, n - 1)), n, 600),
+        range(0, n, 150),
+    ]
+
+
 class DataModule:
     def __init__(self, cfg, dataset_root: str = None):
         self.cfg = cfg
@@ -33,19 +53,9 @@ class DataModule:
         ]
         self.test_dataset = make_dataset(cfg, "train", self.sequence_length)
 
-        n = len(self.test_dataset)
-        self.val_samplers = [
-            range(0, len(self.val_datasets[0]), 50),
-            range(min(1500, max(0, len(self.val_datasets[1]) - 1)),
-                  len(self.val_datasets[1]), 50),
-            range(min(3000, max(0, len(self.val_datasets[2]) - 1)),
-                  len(self.val_datasets[2]), 50),
-        ]
-        self.test_samplers = [
-            range(0, n, 900),
-            range(min(1500, max(0, n - 1)), n, 600),
-            range(0, n, 150),
-        ]
+        self.val_samplers = make_val_samplers(
+            [len(ds) for ds in self.val_datasets])
+        self.test_samplers = make_test_samplers(len(self.test_dataset))
 
     def train_dataloader(self, num_workers: int = 1) -> DataLoader:
         return DataLoader(self.train_dataset, self.batch_size, shuffle=True,

@@ -53,6 +53,25 @@ class MetricsLogger:
                 os.path.join(out_dir, f"{name.replace('/', '_')}_{step}.png")
             )
 
+    def log_video(self, step: int, name: str, frames, fps: int = 2):
+        """frames: (T, H, W, 3) uint8. TB add_video when the encoder is
+        available, else a horizontal film-strip image (same content)."""
+        import numpy as np
+
+        frames = np.asarray(frames)
+        if self._tb is not None:
+            try:
+                import torch
+
+                vid = torch.from_numpy(
+                    frames.transpose(0, 3, 1, 2)[None])  # (1, T, C, H, W)
+                self._tb.add_video(name, vid, step, fps=fps)
+                return
+            except Exception:
+                pass  # moviepy/codec missing: fall through to the strip
+        strip = np.concatenate(list(frames), axis=1)
+        self.log_image(step, f"{name}_strip", strip)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

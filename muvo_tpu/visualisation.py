@@ -144,6 +144,79 @@ def trajectory_plot(positions: np.ndarray, size: int = 256) -> np.ndarray:
     return img
 
 
+def pcd_xy_image(points: np.ndarray, size: int = 192,
+                 extent: float = 50.0) -> np.ndarray:
+    """(N, >=3) point cloud -> top-down xy scatter image, depth-coloured.
+
+    (reference: muvo/trainer.py:968-1007 pcd_xy_image)
+    """
+    img = np.zeros((size, size, 3), np.uint8)
+    if len(points) == 0:
+        return img
+    xy = points[:, :2]
+    z = points[:, 2]
+    px = ((xy / extent) * (size // 2) + size // 2).astype(np.int32)
+    keep = (px[:, 0] >= 0) & (px[:, 0] < size) & (px[:, 1] >= 0) & \
+        (px[:, 1] < size)
+    px, z = px[keep], z[keep]
+    shade = np.clip((z + 3.0) / 6.0, 0, 1)
+    img[px[:, 1], px[:, 0], 1] = (80 + 175 * shade).astype(np.uint8)
+    img[px[:, 1], px[:, 0], 2] = (255 * (1 - shade)).astype(np.uint8)
+    return img
+
+
+def voxel_figure_image(voxel: np.ndarray,
+                       colours: np.ndarray = VOXEL_COLOURS,
+                       elev: float = 60.0, azim: float = 165.0,
+                       figsize: int = 5, max_dim: int = 32) -> np.ndarray:
+    """Matplotlib 3-D voxel render -> (H, W, 3) uint8.
+
+    ax.voxels is O(occupied cells) in Python, so grids are strided down to
+    max_dim per axis first — the reference renders full-resolution
+    (muvo/trainer.py:959-966) at multi-second cost per figure.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    stride = max(1, int(np.ceil(max(voxel.shape) / max_dim)))
+    voxel = voxel[::stride, ::stride, ::stride]
+    occupancy = voxel > 0
+    facecolors = colours[np.clip(voxel, 0, len(colours) - 1)] / 255.0
+    fig = plt.figure(figsize=(figsize, figsize))
+    ax = fig.add_subplot(projection="3d")
+    ax.voxels(occupancy, facecolors=facecolors, shade=False)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf
+
+
+def action_bar(width: int, value: float, positive_colour=(0, 200, 0),
+               negative_colour=(200, 0, 0), height: int = 24) -> np.ndarray:
+    """Reference-style acc/steer bar with the numeric value printed
+    (muvo/trainer.py:683-707): colour fill from the midline plus text."""
+    import cv2
+
+    bar = np.full((height, width, 3), 255, np.uint8)
+    mid = width // 2
+    v = float(np.clip(value, -1, 1))
+    if v >= 0:
+        bar[4:-4, mid: mid + int((width // 2 - 2) * v)] = positive_colour
+        org = (max(2, mid - 70), height - 8)
+    else:
+        bar[4:-4, mid + int((width // 2 - 2) * v): mid] = negative_colour
+        org = (mid + 6, height - 8)
+    cv2.putText(bar, f"{value:.4f}", org, cv2.FONT_HERSHEY_DUPLEX, 0.4,
+                (0, 0, 0), 1, cv2.LINE_AA)
+    bar[:, mid - 1: mid + 1] = 0
+    return bar
+
+
 def sequence_strip(frames: List[np.ndarray], receptive_field: int,
                    separator_width: int = 4) -> np.ndarray:
     """Horizontally tile frames with a red separator after the RF frames."""

@@ -21,6 +21,7 @@ import jax
 
 from muvo_tpu.config import get_cfg, get_parser
 from muvo_tpu.data.dataset import make_dataset
+from muvo_tpu.data.datamodule import make_test_samplers
 from muvo_tpu.data.loader import DataLoader
 from muvo_tpu.parallel.mesh import make_mesh
 from muvo_tpu.training.evaluator import Evaluator
@@ -36,12 +37,7 @@ def main():
 
     seq_len = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
     test_ds = make_dataset(cfg, "train", seq_len)
-    n = len(test_ds)
-    samplers = [
-        range(0, n, max(1, 900)),
-        range(min(1500, max(0, n - 1)), n, max(1, 600)),
-        range(0, n, max(1, 150)),
-    ]
+    samplers = make_test_samplers(len(test_ds))
 
     example = next(iter(DataLoader(test_ds, cfg.BATCHSIZE, shuffle=False)))
     state = trainer.init_state(example)

@@ -21,6 +21,9 @@ def test_visualise_step_panels():
         "rgb_label_1": rng.randn(b, s + fh, h, w, 3).astype(np.float32),
         "range_view_label_1": rng.rand(b, s + fh, 64, 128, 4).astype(np.float32),
         "voxel_label_1": rng.randint(0, 2, (b, s + fh, 64, 64, 64)),
+        "throttle_brake": rng.uniform(-1, 1, (b, s + fh, 1)).astype(np.float32),
+        "steering": rng.uniform(-1, 1, (b, s + fh, 1)).astype(np.float32),
+        "route_map": rng.rand(b, s + fh, 32, 32, 3).astype(np.float32),
     }
     output = {
         "rgb_1": rng.rand(b, s, h, w, 3).astype(np.float32),
@@ -33,9 +36,14 @@ def test_visualise_step_panels():
         "voxel_1": rng.randn(b, fh, 64, 64, 64, 2).astype(np.float32),
     }
     panels = visualise_step(cfg, batch, output, imagine)
-    assert set(panels) == {"rgb", "range_view", "voxel_topdown"}
+    # full reference panel set (muvo/trainer.py:569-966) for this config
+    assert set(panels) == {
+        "rgb", "flow", "range_view", "video/lidar", "pcd_xy", "trajectory",
+        "voxel_topdown", "voxel_3d", "voxel_3d_imagine", "input_route_map",
+    }
     for name, img in panels.items():
-        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+        assert img.dtype == np.uint8 and img.shape[-1] == 3
+        assert img.ndim == (4 if name.startswith("video/") else 3)
 
 
 def test_basic_helpers():

@@ -45,12 +45,27 @@ def main():
 
     seq_len = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
     train_ds = make_dataset(cfg, "train", seq_len)
-    val_ds = make_dataset(cfg, "val0", seq_len)
     train_loader = DataLoader(train_ds, cfg.BATCHSIZE, shuffle=True,
                               num_workers=min(cfg.N_WORKERS, 1))
-    val_loader = DataLoader(val_ds, cfg.BATCHSIZE, shuffle=False,
-                            sampler=range(0, len(val_ds),
-                                          max(1, len(val_ds) // 8)))
+    # the reference validates on all three strided val splits
+    # (muvo/data/dataset.py:40-68); val splits that don't exist on disk
+    # (common in small local runs) are skipped with a note
+    from muvo_tpu.data.datamodule import make_val_samplers
+
+    val_datasets = []
+    for i in range(3):
+        try:
+            val_datasets.append(make_dataset(cfg, f"val{i}", seq_len))
+        except Exception as e:
+            print(f"val{i} unavailable ({e}); skipping")
+            val_datasets.append(None)
+    lengths = [len(ds) if ds is not None else 1 for ds in val_datasets]
+    val_loaders = [
+        (i, DataLoader(ds, cfg.BATCHSIZE, shuffle=False, sampler=sampler))
+        for i, (ds, sampler) in enumerate(
+            zip(val_datasets, make_val_samplers(lengths)))
+        if ds is not None
+    ]
 
     example = next(iter(DataLoader(train_ds, cfg.BATCHSIZE, shuffle=False)))
     state = trainer.init_state(example)
@@ -124,29 +139,40 @@ def main():
                       f"fps/chip={scalars['fps_per_chip']:.2f}")
 
             if step % cfg.VAL_CHECK_INTERVAL == 0:
-                val_metrics = {}
-                for i, vbatch in enumerate(device_prefetch(iter(val_loader), mesh)):
-                    if i >= cfg.LIMIT_VAL_BATCHES:
-                        break
-                    out = eval_step(state, vbatch, rng)
-                    for k, v in out["losses"].items():
-                        val_metrics[k] = val_metrics.get(k, 0) + float(np.asarray(v))
-                    if i == 0:
-                        try:
-                            from muvo_tpu.training.visualise import visualise_step
+                for vi, val_loader in val_loaders:
+                    val_metrics = {}
+                    for i, vbatch in enumerate(
+                            device_prefetch(iter(val_loader), mesh)):
+                        if i >= cfg.LIMIT_VAL_BATCHES:
+                            break
+                        out = eval_step(state, vbatch, rng)
+                        for k, v in out["losses"].items():
+                            val_metrics[k] = (val_metrics.get(k, 0)
+                                              + float(np.asarray(v)))
+                        if i == 0:
+                            try:
+                                from muvo_tpu.training.visualise import (
+                                    visualise_step,
+                                )
 
-                            pb = jax.jit(
-                                lambda b: trainer.preprocess(b, training=False)
-                            )(vbatch)
-                            panels = visualise_step(
-                                cfg, pb, out["output"],
-                                out.get("output_imagine"),
-                            )
-                            for name, img in panels.items():
-                                logger.log_image(step, f"val0/{name}", img)
-                        except Exception as e:
-                            print(f"visualisation failed: {e}")
-                logger.log(step, val_metrics, prefix="val0")
+                                pb = jax.jit(
+                                    lambda b: trainer.preprocess(
+                                        b, training=False)
+                                )(vbatch)
+                                panels = visualise_step(
+                                    cfg, pb, out["output"],
+                                    out.get("output_imagine"),
+                                )
+                                for name, img in panels.items():
+                                    if name.startswith("video/"):
+                                        logger.log_video(
+                                            step, f"val{vi}/{name[6:]}", img)
+                                    else:
+                                        logger.log_image(
+                                            step, f"val{vi}/{name}", img)
+                            except Exception as e:
+                                print(f"visualisation failed: {e}")
+                    logger.log(step, val_metrics, prefix=f"val{vi}")
                 ckpt.save(step, jax.device_get(state),
                           cfg_dict=cfg.convert_to_dict())
         epoch += 1
