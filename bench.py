@@ -8,10 +8,18 @@ forward, all losses, backward, optimizer) on the full-size muvo.yml graph
 (320x832 RGB, 64x1024 range view, 192x192x64 voxels, RF=4 FH=2) with a
 device-resident synthetic batch, so the number is pure device throughput.
 
-vs_baseline: the reference publishes no benchmark numbers (BASELINE.md), so
-the denominator is an estimate of the reference PyTorch implementation's
-A100 training throughput: 6 frames per optimizer micro-step at ~0.6 s/step
-=> ~10 frames/s. The north-star target is >= 2x that per chip.
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md).
+The denominator is a FLOPs-based estimate of the reference PyTorch
+implementation on A100: the flagship step costs ~40 TFLOPs per 6-frame
+sequence (measured here via XLA cost analysis, which matches the reference's
+op inventory — same convs/matmuls at the same shapes). An A100 delivers 312
+TFLOP/s bf16 peak; PyTorch eager world-model training with python-loop RSSM,
+per-op kernel launches and no fusion typically achieves ~15-20% MFU, i.e.
+~50-62 TFLOP/s -> 7.5-9.3 frames/s. BASELINE_FPS = 10 rounds that up in the
+reference's favour.
+
+Also reported: achieved MFU on this chip = model FLOPs (remat recompute
+excluded via a no-remat lowering of the same graph) / wall time / peak.
 """
 
 from __future__ import annotations
@@ -25,6 +33,38 @@ import sys
 import time
 
 BASELINE_FPS = 10.0
+
+# bf16 peak TFLOP/s per chip by device kind substring
+PEAK_TFLOPS = (
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 197.0),
+    ("v6", 918.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+)
+
+
+def _peak_flops_per_chip() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tflops in PEAK_TFLOPS:
+        if key in kind:
+            return tflops * 1e12
+    return 0.0
+
+
+def _model_flops(trainer, state, sharded, rng) -> float:
+    """Model FLOPs of one train step, remat recompute excluded: lower (not
+    compile) the same step built without remat and read the HLO cost
+    analysis."""
+    try:
+        lowered = trainer.make_train_step(donate=False).jitted.lower(
+            state, sharded, rng)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
 
 
 def main(n_steps: int = 12, warmup: int = 3):
@@ -57,6 +97,10 @@ def main(n_steps: int = 12, warmup: int = 3):
     sharded = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(0)
 
+    # abstract args for the cost-analysis lowering (state gets donated below)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, sharded, rng))
+
     for _ in range(warmup):
         state, metrics = train_step(state, sharded, rng)
     jax.block_until_ready(metrics["loss"])
@@ -70,12 +114,28 @@ def main(n_steps: int = 12, warmup: int = 3):
     n_chips = len(jax.devices())
     frames = cfg.BATCHSIZE * seq * n_steps
     fps_per_chip = frames / dt / n_chips
-    print(json.dumps({
+
+    record = {
         "metric": "train_step_frames_per_sec_per_chip",
         "value": round(fps_per_chip, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / BASELINE_FPS, 3),
-    }))
+    }
+    # achieved MFU: model FLOPs (no-remat lowering) / wall / peak
+    import copy
+
+    no_remat_cfg = copy.deepcopy(cfg)
+    no_remat_cfg.MODEL.REMAT = False
+    no_remat_cfg.MODEL.REMAT_ENCODER = False
+    flops_trainer = WorldModelTrainer(no_remat_cfg, mesh=mesh)
+    flops_trainer._tx = trainer._tx
+    model_flops = _model_flops(flops_trainer, *abstract)
+    peak = _peak_flops_per_chip()
+    if model_flops > 0 and peak > 0:
+        step_time = dt / n_steps
+        record["model_tflops_per_step"] = round(model_flops / 1e12, 2)
+        record["mfu"] = round(model_flops / step_time / n_chips / peak, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -319,6 +319,11 @@ def _build_defaults() -> CfgNode:
     c.MODEL.TRANSFORMER.ENABLED = False
     c.MODEL.TRANSFORMER.BEV = False
     c.MODEL.TRANSFORMER.LARGE = False
+    # Architecture knobs (reference hard-codes 6 layers / 8 heads / 2048 ff,
+    # mile.py:96-101); exposed so tiny dryrun/test graphs can shrink them.
+    c.MODEL.TRANSFORMER.N_LAYERS = 6
+    c.MODEL.TRANSFORMER.N_HEADS = 8
+    c.MODEL.TRANSFORMER.DIM_FEEDFORWARD = 2048
     c.MODEL.ENCODER = CfgNode()
     c.MODEL.ENCODER.NAME = "resnet18"
     c.MODEL.ENCODER.OUT_CHANNELS = 64
@@ -346,6 +351,9 @@ def _build_defaults() -> CfgNode:
     c.MODEL.EMBEDDING_DIM = 512
     # Rematerialise decoder activations in backward (trades FLOPs for HBM,
     # enabling larger per-chip batches). TPU-specific extension key.
+    # StyleGAN decoder trunk width (reference hard-codes 512,
+    # common.py:373/553); exposed so tiny dryrun graphs can shrink it.
+    c.MODEL.DECODER_BASE_CHANNELS = 512
     c.MODEL.REMAT = False
     # Also rematerialise the image/lidar encoder backbones (frees their
     # feature maps from HBM at the cost of a second forward in backward).

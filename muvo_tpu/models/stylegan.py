@@ -162,10 +162,11 @@ class BevDecoder(nn.Module):
     semantic_n_channels: int
     constant_size: Tuple[int, int] = (3, 3)
     head: str = "bev"
+    base_channels: int = 512  # reference hard-codes 512 (common.py:373)
 
     @nn.compact
     def __call__(self, w) -> Dict[str, jnp.ndarray]:
-        n = 512
+        n = self.base_channels
         b = w.shape[0]
         const = self.param(
             "constant_tensor", nn.initializers.normal(1.0),
@@ -178,11 +179,11 @@ class BevDecoder(nn.Module):
         for i in range(3):
             x = DecoderBlock(n, upsample=True, name=f"middle_{i}")(x, w)
 
-        x = DecoderBlock(256, upsample=True, name="conv1")(x, w)
+        x = DecoderBlock(n // 2, upsample=True, name="conv1")(x, w)
         out4 = make_head(self.head, self.semantic_n_channels, 4, "head_4")(x)
-        x = DecoderBlock(128, upsample=True, name="conv2")(x, w)
+        x = DecoderBlock(n // 4, upsample=True, name="conv2")(x, w)
         out2 = make_head(self.head, self.semantic_n_channels, 2, "head_2")(x)
-        x = DecoderBlock(64, upsample=True, name="conv3")(x, w)
+        x = DecoderBlock(n // 8, upsample=True, name="conv3")(x, w)
         out1 = make_head(self.head, self.semantic_n_channels, 1, "head_1")(x)
         return {**out4, **out2, **out1}
 
@@ -199,10 +200,11 @@ class ConvDecoder(nn.Module):
     constant_size: Tuple[int, int] = (5, 13)
     head: str = "rgb"
     mlp_layers: int = 0
+    base_channels: int = 512  # reference hard-codes 512 (common.py:553)
 
     @nn.compact
     def __call__(self, w) -> Dict[str, jnp.ndarray]:
-        n = 512
+        n = self.base_channels
         x = nn.Dense(n, name="linear")(w)
         if self.mlp_layers > 0:
             for i in range(self.mlp_layers):
@@ -221,13 +223,13 @@ class ConvDecoder(nn.Module):
         x = ConvTranspose2dTorch(n, (6, 6), (2, 2), (2, 2), name="pre3")(x)
         x = nn.elu(x)
 
-        x = ConvTranspose2dTorch(256, (6, 6), (2, 2), (2, 2), name="trans_conv1")(x)
+        x = ConvTranspose2dTorch(n // 2, (6, 6), (2, 2), (2, 2), name="trans_conv1")(x)
         x = nn.elu(x)
         out4 = make_head(self.head, self.out_channels, 4, "head_4")(x)
-        x = ConvTranspose2dTorch(128, (6, 6), (2, 2), (2, 2), name="trans_conv2")(x)
+        x = ConvTranspose2dTorch(n // 4, (6, 6), (2, 2), (2, 2), name="trans_conv2")(x)
         x = nn.elu(x)
         out2 = make_head(self.head, self.out_channels, 2, "head_2")(x)
-        x = ConvTranspose2dTorch(64, (6, 6), (2, 2), (2, 2), name="trans_conv3")(x)
+        x = ConvTranspose2dTorch(n // 8, (6, 6), (2, 2), (2, 2), name="trans_conv3")(x)
         x = nn.elu(x)
         out1 = make_head(self.head, self.out_channels, 1, "head_1")(x)
         return {**out4, **out2, **out1}

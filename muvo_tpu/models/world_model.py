@@ -101,7 +101,12 @@ class MuvoWorldModel(nn.Module):
             self.type_embedding = self.param(
                 "type_embedding", nn.initializers.zeros, (1, 1, tf_c, 2)
             )
-            self.transformer = TransformerEncoder(tf_c, n_layers=6, n_heads=8)
+            self.transformer = TransformerEncoder(
+                tf_c,
+                n_layers=cfg.MODEL.TRANSFORMER.N_LAYERS,
+                n_heads=cfg.MODEL.TRANSFORMER.N_HEADS,
+                dim_feedforward=cfg.MODEL.TRANSFORMER.DIM_FEEDFORWARD,
+            )
             self.image_feature_conv = FeatureCompressor(self.embedding_dim,
                                                         strides=(2, 1))
             self.lidar_feature_conv = FeatureCompressor(self.embedding_dim,
@@ -210,41 +215,45 @@ class MuvoWorldModel(nn.Module):
                        max(1, cfg.POINTS.HORIZON_RESOLUTION // 64))
         bev_const = (max(1, cfg.BEV.SIZE[1] // 64), max(1, cfg.BEV.SIZE[0] // 64))
         voxel_const = tuple(max(1, v // 64) for v in cfg.VOXEL.SIZE)
+        try:
+            base_c = int(cfg.MODEL.DECODER_BASE_CHANNELS)
+        except AttributeError:
+            base_c = 512
 
         if cfg.SEMANTIC_SEG.ENABLED:
             self.bev_decoder = bev_cls(
                 latent_n_channels=state_dim,
                 semantic_n_channels=cfg.SEMANTIC_SEG.N_CHANNELS,
                 constant_size=bev_const,
-                head="bev",
+                head="bev", base_channels=base_c,
             )
         if cfg.EVAL.RGB_SUPERVISION:
             self.rgb_decoder = conv_cls(
                 latent_n_channels=state_dim, out_channels=3,
-                constant_size=img_const, head="rgb",
+                constant_size=img_const, head="rgb", base_channels=base_c,
             )
         if cfg.LIDAR_RE.ENABLED:
             self.lidar_re = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.LIDAR_RE.N_CHANNELS,
-                constant_size=lidar_const, head="lidar_re",
+                constant_size=lidar_const, head="lidar_re", base_channels=base_c,
             )
         if cfg.LIDAR_SEG.ENABLED:
             self.lidar_segmentation = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.LIDAR_SEG.N_CLASSES,
-                constant_size=lidar_const, head="lidar_seg",
+                constant_size=lidar_const, head="lidar_seg", base_channels=base_c,
             )
         if cfg.SEMANTIC_IMAGE.ENABLED:
             self.sem_image_decoder = conv_cls(
                 latent_n_channels=state_dim,
                 out_channels=cfg.SEMANTIC_IMAGE.N_CLASSES,
-                constant_size=img_const, head="sem_image",
+                constant_size=img_const, head="sem_image", base_channels=base_c,
             )
         if cfg.DEPTH.ENABLED:
             self.depth_image_decoder = conv_cls(
                 latent_n_channels=state_dim, out_channels=1,
-                constant_size=img_const, head="depth",
+                constant_size=img_const, head="depth", base_channels=base_c,
             )
         if cfg.VOXEL_SEG.ENABLED:
             self.voxel_decoder = voxel_cls(

@@ -48,7 +48,13 @@ class WorldModelTrainer:
         self._eval_step = None
 
     # ------------------------------------------------------------------
-    def init_state(self, example_batch: Dict, seed: int = 42) -> TrainState:
+    def init_state(self, example_batch: Dict, seed: int = 42,
+                   fast: bool = False) -> TrainState:
+        """fast=True skips the jitted init (one full-graph XLA compile, very
+        slow on a 1-core host) and materialises parameters straight from
+        eval_shape: small random kernels, identity norms, BN var=1. Values
+        differ from flax's initializers — use only where the starting point
+        doesn't matter (dryruns, compile checks, throughput benches)."""
         rngs = {"params": jax.random.PRNGKey(seed)}
         pb = jax.eval_shape(
             lambda b: self.preprocess(b, training=False), example_batch
@@ -56,9 +62,32 @@ class WorldModelTrainer:
         pb = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), pb
         )
-        variables = jax.jit(
-            self.model.init, static_argnames=("training",)
-        )(rngs, pb, training=False, rng=jax.random.PRNGKey(0))
+        if fast:
+            shapes = jax.eval_shape(
+                lambda r, b: self.model.init(r, b, training=False,
+                                             rng=jax.random.PRNGKey(0)),
+                rngs, pb,
+            )
+            import numpy as np
+
+            def fill(path, s):
+                name = jax.tree_util.keystr(path)
+                leaf = name.rsplit("'", 2)[-2] if "'" in name else name
+                if leaf in ("var",):
+                    return jnp.ones(s.shape, s.dtype)
+                if leaf in ("mean", "bias"):
+                    return jnp.zeros(s.shape, s.dtype)
+                if leaf == "scale":
+                    return jnp.ones(s.shape, s.dtype)
+                r = np.random.RandomState(abs(hash(name)) % (2 ** 31))
+                return jnp.asarray(
+                    0.02 * r.randn(*s.shape), s.dtype)
+
+            variables = jax.tree_util.tree_map_with_path(fill, shapes)
+        else:
+            variables = jax.jit(
+                self.model.init, static_argnames=("training",)
+            )(rngs, pb, training=False, rng=jax.random.PRNGKey(0))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._tx = make_optimizer(self.cfg, params)
@@ -118,13 +147,25 @@ class WorldModelTrainer:
         out_shardings = (replicated(self.mesh), replicated(self.mesh))
         in_shardings = (replicated(self.mesh), batch_sharding(self.mesh),
                         replicated(self.mesh))
-        self._train_step = jax.jit(
+        self._train_step = self._with_mesh(jax.jit(
             train_step,
             in_shardings=in_shardings,
             out_shardings=out_shardings,
             donate_argnums=(0,) if donate else (),
-        )
+        ))
         return self._train_step
+
+    def _with_mesh(self, jitted):
+        """Run a jitted step with the trainer mesh in context so the model's
+        `constrain()` hints (bare PartitionSpecs) bind to real mesh axes —
+        without a mesh context they cannot apply at all."""
+
+        def wrapped(*args, **kwargs):
+            with jax.sharding.set_mesh(self.mesh):
+                return jitted(*args, **kwargs)
+
+        wrapped.jitted = jitted  # for lower()/cost-analysis tooling
+        return wrapped
 
     def make_eval_step(self):
         """Eval: observe RF frames, compute recon losses, imagine FH frames.
@@ -166,9 +207,9 @@ class WorldModelTrainer:
                 out["output_imagine"] = output_imagine
             return out
 
-        self._eval_step = jax.jit(
+        self._eval_step = self._with_mesh(jax.jit(
             eval_step,
             in_shardings=(replicated(self.mesh), batch_sharding(self.mesh),
                           replicated(self.mesh)),
-        )
+        ))
         return self._eval_step
