@@ -134,6 +134,11 @@ def resize_bilinear(x, size: Tuple[int, int]):
 
 
 def upsample2x_bilinear(x):
+    # jax.image.resize('linear') == torch F.interpolate(align_corners=False)
+    # (tests/test_nn_parity.py). A hand-written shifted-sum + interleave
+    # formulation was measured SLOWER on TPU (26.6 vs 33.4 frames/s/chip on
+    # the flagship step): the odd/even interleave along non-minor axes
+    # becomes strided copies, while XLA's resize lowering stays fused.
     n, h, w, c = x.shape
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
 

@@ -142,3 +142,27 @@ def test_representation_model_sigma_floor():
     mu, sigma = m.apply(params, x)
     assert mu.shape == (2, 8) and sigma.shape == (2, 8)
     assert (np.asarray(sigma) > 0.1).all() and (np.asarray(sigma) < 2.1).all()
+
+
+def test_upsample2x_linear_matches_torch():
+    """upsample2x_{bi,tri}linear must bit-match torch F.interpolate
+    (align_corners=False), the reference's upsample (common.py:156, 170)."""
+    import torch
+    import torch.nn.functional as F
+
+    from muvo_tpu.models.layers import upsample2x_bilinear, upsample2x_trilinear
+
+    rs = np.random.RandomState(3)
+    x3 = rs.randn(2, 5, 7, 6, 3).astype(np.float32)
+    got = np.asarray(upsample2x_trilinear(jnp.asarray(x3)))
+    t = torch.from_numpy(x3.copy()).permute(0, 4, 1, 2, 3)
+    ref = F.interpolate(t, scale_factor=2.0, mode="trilinear",
+                        align_corners=False).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    x2 = rs.randn(2, 9, 11, 4).astype(np.float32)
+    got2 = np.asarray(upsample2x_bilinear(jnp.asarray(x2)))
+    t2 = torch.from_numpy(x2.copy()).permute(0, 3, 1, 2)
+    ref2 = F.interpolate(t2, scale_factor=2.0, mode="bilinear",
+                         align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got2, ref2, atol=1e-6)
