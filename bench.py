@@ -66,7 +66,7 @@ def _flops_of(jitted, *abstract_args) -> float:
         return 0.0
 
 
-def main(n_steps: int = 12, warmup: int = 3):
+def main(n_steps: int = 12, warmup: int = 3, large: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +84,12 @@ def main(n_steps: int = 12, warmup: int = 3):
     cfg.MODEL.REMAT = True
     cfg.MODEL.REMAT_ENCODER = True
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
+    if large:
+        # LARGE=True keeps stride-8 features: 5,184 fusion tokens/frame
+        # (reference mile.py:31-32, 546-557) through the Pallas flash
+        # attention path. One sequence per chip fits HBM.
+        cfg.MODEL.TRANSFORMER.LARGE = True
+        cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
 
     mesh = make_mesh()
     trainer = WorldModelTrainer(cfg, mesh=mesh)
@@ -115,7 +121,8 @@ def main(n_steps: int = 12, warmup: int = 3):
     fps_per_chip = frames / dt / n_chips
 
     record = {
-        "metric": "train_step_frames_per_sec_per_chip",
+        "metric": ("train_step_frames_per_sec_per_chip_large" if large
+                   else "train_step_frames_per_sec_per_chip"),
         "value": round(fps_per_chip, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / BASELINE_FPS, 3),
@@ -147,5 +154,6 @@ def main(n_steps: int = 12, warmup: int = 3):
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    main(steps)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps = int(args[0]) if args else 12
+    main(steps, large="--large" in sys.argv)

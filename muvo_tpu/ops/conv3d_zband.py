@@ -234,6 +234,8 @@ class Conv3dZBand(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         c_in = x.shape[-1]
         z = x.shape[-2]
         kernel = self.param(
@@ -241,6 +243,21 @@ class Conv3dZBand(nn.Module):
         )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        # perf-experiment escape hatch (identical math; trace-time only)
+        mode = os.environ.get("MUVO_CONV3D", "auto")
+        if mode == "xla":
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1, 1),
+                ((1, 1), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            return y + bias.astype(x.dtype) if bias is not None else y
+        if mode == "ext" and z > 18:
+            block = max(1, 128 // self.features)
+            while z % block != 0:
+                block //= 2
+            if block > 2:
+                return conv3d_zblock_ext(x, kernel, bias, block=block)
         if z <= 18:  # full-band FLOP overhead (z/3) still cheap
             return conv3d_zband(x, kernel, bias)
         block = max(1, 128 // self.features)
