@@ -128,21 +128,23 @@ def sem_scal_loss(prediction, target, ignore_index=255):
     """
     c = prediction.shape[-1]
     p = jax.nn.softmax(prediction, axis=-1)
-    p = p.reshape(-1, c)  # (N, C)
-    t = target.reshape(-1)
-    mask = (t != ignore_index)[:, None]  # (N, 1)
+    # reductions over all leading axes in place of a (-1, C) flatten — a
+    # flattened (N, 2) fp32 tensor picks up 64x lane padding (29 GB at the
+    # flagship voxel sizes) when XLA materialises it
+    red = tuple(range(target.ndim))
+    mask = (target != ignore_index)[..., None].astype(p.dtype)
 
-    onehot = jax.nn.one_hot(t, c, dtype=p.dtype) * mask  # completion target
+    onehot = jax.nn.one_hot(target, c, dtype=p.dtype) * mask
     p_masked = p * mask
 
-    nominator = jnp.sum(p_masked * onehot, axis=0)              # (C,)
-    p_sum = jnp.sum(p_masked, axis=0)
-    target_sum = jnp.sum(onehot, axis=0)
+    nominator = jnp.sum(p_masked * onehot, axis=red)            # (C,)
+    p_sum = jnp.sum(p_masked, axis=red)
+    target_sum = jnp.sum(onehot, axis=red)
     non_target_sum = jnp.sum(mask) - target_sum
 
     precision = nominator / jnp.maximum(p_sum, _EPS)
     recall = nominator / jnp.maximum(target_sum, _EPS)
-    specificity = jnp.sum((1 - p_masked) * (1 - onehot) * mask, axis=0) / \
+    specificity = jnp.sum((1 - p_masked) * (1 - onehot) * mask, axis=red) / \
         jnp.maximum(non_target_sum, _EPS)
 
     class_present = target_sum > 0
@@ -160,9 +162,9 @@ def geo_scal_loss(prediction, target, ignore_index=255):
     (reference: losses.py:254-287)
     """
     p = jax.nn.softmax(prediction, axis=-1)
-    empty_probs = p[..., 0].reshape(-1)
+    empty_probs = p[..., 0]  # keep the array shape; sums below are global
     nonempty_probs = 1 - empty_probs
-    t = target.reshape(-1)
+    t = target
     mask = t != ignore_index
     nonempty_target = ((t != 0) & mask).astype(p.dtype)
     m = mask.astype(p.dtype)

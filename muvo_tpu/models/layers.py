@@ -148,6 +148,74 @@ def upsample2x_trilinear(x):
     return jax.image.resize(x, (n, 2 * d, 2 * h, 2 * w, c), method="linear")
 
 
+def _upsample2x_linear_axis(x, axis: int):
+    """2x linear upsample along one axis, half-pixel centers (torch
+    align_corners=False): out[2i] = .25 x[i-1] + .75 x[i],
+    out[2i+1] = .75 x[i] + .25 x[i+1], edges clamped. Bit-matches
+    jax.image.resize / torch F.interpolate."""
+    n = x.shape[axis]
+
+    def sl(a, b):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(a, b)
+        return tuple(idx)
+
+    xm = jnp.concatenate([x[sl(0, 1)], x[sl(0, n - 1)]], axis)
+    xp = jnp.concatenate([x[sl(1, n)], x[sl(n - 1, n)]], axis)
+    even = 0.25 * xm + 0.75 * x
+    odd = 0.75 * x + 0.25 * xp
+    out = jnp.stack([even, odd], axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
+def upsample2x_trilinear_interleave(x):
+    """Same result as upsample2x_trilinear via shifted-sum interleaves,
+    minor axes first."""
+    x = _upsample2x_linear_axis(x, 3)  # z (second-minor)
+    x = _upsample2x_linear_axis(x, 2)  # y
+    return _upsample2x_linear_axis(x, 1)  # x
+
+
+def _linear_up_matrix(n: int) -> jnp.ndarray:
+    """(2n, n) half-pixel 2x linear interpolation matrix (edges clamped);
+    matches jax.image.resize('linear') / torch align_corners=False."""
+    rows = []
+    for u in range(2 * n):
+        w = [0.0] * n
+        k = u // 2
+        if u % 2 == 0:
+            w[max(k - 1, 0)] += 0.25
+            w[k] += 0.75
+        else:
+            w[k] += 0.75
+            w[min(k + 1, n - 1)] += 0.25
+        rows.append(w)
+    import numpy as np
+
+    return jnp.asarray(np.asarray(rows, np.float32))
+
+
+def upsample2x_trilinear_folded(x4, Z: int, C: int):
+    """Trilinear 2x upsample on a z-folded (B, X, Y, Z*C) tensor ->
+    (B, 2X, 2Y, 2Z*C), never leaving the folded row-major domain: the z
+    interpolation is one MXU matmul with the (Z*C, 2Z*C) block-interp
+    matrix, x/y are sublane/outer interleaves with the wide lane dim
+    intact. 5-D resize here costs 5x-padded layout copies next to the
+    Pallas conv boundary (measured 9 GB on the flagship step)."""
+    B, X, Y, ZC = x4.shape
+    U = _linear_up_matrix(Z)  # (2Z, Z)
+    # W[(s, c), (u, c)] = U[u, s]
+    W = (U.T[:, None, :, None]
+         * jnp.eye(C, dtype=jnp.float32)[None, :, None, :])
+    W = W.reshape(ZC, 2 * ZC).astype(x4.dtype)
+    x4 = x4 @ W  # z-interp on the lanes
+    # x/y via XLA's resize on the folded 4-D (lanes untouched) — its
+    # lowering beats hand-written interleaves on TPU
+    return jax.image.resize(x4, (B, 2 * X, 2 * Y, 2 * ZC), method="linear")
+
+
 def downsample_nearest(x, factor: int):
     """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC)."""
     return x[..., ::factor, ::factor, :]

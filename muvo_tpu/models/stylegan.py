@@ -27,13 +27,39 @@ from muvo_tpu.models.layers import (
 
 
 class AdaptiveInstanceNorm(nn.Module):
-    """Instance norm over spatial dims, then scale/bias from the style."""
+    """Instance norm over spatial dims, then scale/bias from the style.
+
+    ``folded_zc=(Z, C)`` computes the identical math on a z-folded 4-D
+    tensor (B, X, Y, Z*C) — per-channel stats via a free bitcast view, the
+    affine via z-tiled row vectors — so the big voxel-decoder activations
+    never exist in a 5-D layout XLA would pad (see ops/pallas_zconv.py).
+    """
 
     out_channels: int
     epsilon: float = 1e-8
 
     @nn.compact
-    def __call__(self, x, w):
+    def __call__(self, x, w, folded_zc=None):
+        if folded_zc is not None:
+            Z, C = folded_zc
+            b, X, Y, _ = x.shape
+            x32 = x.astype(jnp.float32)
+            x5 = x32.reshape(b, X, Y, Z, C)  # bitcast view for the stats
+            mean = x5.mean(axis=(1, 2, 3))                    # (B, C)
+            var = jnp.mean((x5 - mean[:, None, None, None, :]) ** 2,
+                           axis=(1, 2, 3))
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            # identical op order to the unfolded path: fp32 normalise, cast,
+            # then the style affine in the model dtype
+            mean4 = jnp.tile(mean, (1, Z)).reshape(b, 1, 1, Z * C)
+            inv4 = jnp.tile(inv, (1, Z)).reshape(b, 1, 1, Z * C)
+            norm = ((x32 - mean4) * inv4).astype(x.dtype)
+            style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
+            scale, bias = jnp.split(style, 2, axis=-1)
+            scale4 = jnp.tile(scale, (1, Z)).reshape(b, 1, 1, Z * C)
+            bias4 = jnp.tile(bias, (1, Z)).reshape(b, 1, 1, Z * C)
+            return scale4 * norm + bias4
+
         spatial = tuple(range(1, x.ndim - 1))
         # instance-norm statistics in fp32 for bf16 activations
         x32 = x.astype(jnp.float32)
@@ -53,7 +79,17 @@ class ConvInstanceNorm(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, w):
+    def __call__(self, x, w, folded_zc=None):
+        if folded_zc is not None:
+            # z-folded voxel path (TPU): Pallas conv with the LeakyReLU
+            # fused, AdaIN on the folded view — no 5-D tensor exists
+            from muvo_tpu.ops.conv3d_zband import Conv3dZBand
+
+            Z, C = folded_zc
+            x = Conv3dZBand(self.out_channels, fuse_leaky=0.2,
+                            name="conv")(x, folded_zc=(Z, C))
+            return AdaptiveInstanceNorm(self.out_channels, name="adain")(
+                x, w, folded_zc=(Z, self.out_channels))
         if x.ndim == 5 and x.shape[-1] <= 64:
             # small-channel conv3d: z-band lowering keeps the MXU busy
             from muvo_tpu.ops.conv3d_zband import Conv3dZBand
@@ -74,7 +110,21 @@ class DecoderBlock(nn.Module):
     upsample: bool = False
 
     @nn.compact
-    def __call__(self, x, w):
+    def __call__(self, x, w, folded_zc=None):
+        if folded_zc is not None:
+            # z-folded voxel path: x is (B, X, Y, Z*C); returns
+            # ((B, 2X, 2Y, 2Z*out), (2Z, out)) — see VoxelDecoder
+            from muvo_tpu.models.layers import upsample2x_trilinear_folded
+
+            Z, C = folded_zc
+            if self.upsample:
+                x = upsample2x_trilinear_folded(x, Z, C)
+                Z = 2 * Z
+            x = ConvInstanceNorm(self.out_channels, name="conv1")(
+                x, w, folded_zc=(Z, C))
+            x = ConvInstanceNorm(self.out_channels, name="conv2")(
+                x, w, folded_zc=(Z, self.out_channels))
+            return x, (Z, self.out_channels)
         if self.upsample:
             x = upsample2x_bilinear(x) if x.ndim == 4 else upsample2x_trilinear(x)
         x = ConvInstanceNorm(self.out_channels, name="conv1")(x, w)
@@ -112,7 +162,20 @@ class _PointwiseConv(nn.Module):
     spatial_rank: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded_zc=None):
+        if folded_zc is not None:
+            # z-folded input: block-diagonal matmul over the lanes
+            Z, C = folded_zc
+            kshape = (1,) * self.spatial_rank + (C, self.features)
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                kshape)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            wk = kernel.reshape(C, self.features).astype(x.dtype)
+            bd = (jnp.eye(Z, dtype=x.dtype)[:, None, :, None]
+                  * wk[None, :, None, :]).reshape(Z * C, Z * self.features)
+            bias4 = jnp.tile(bias.astype(x.dtype), (Z,))
+            return x @ bd + bias4
         c_in = x.shape[-1]
         kshape = (1,) * self.spatial_rank + (c_in, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -128,7 +191,17 @@ class _SingleConvHead(nn.Module):
     key_prefix: str = "rgb"
 
     @nn.compact
-    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, folded_zc=None) -> Dict[str, jnp.ndarray]:
+        if folded_zc is not None:
+            # pointwise conv on the z-folded tensor: one block-diagonal
+            # matmul on the lanes, unfolding only the class output (the
+            # model's external contract stays (…, Z, n_classes))
+            Z, C = folded_zc
+            b, X, Y, _ = x.shape
+            out4 = _PointwiseConv(self.n_classes, 3, name="head")(
+                x, folded_zc=(Z, C))
+            out = out4.reshape(b, X, Y, Z, self.n_classes)
+            return {f"{self.key_prefix}_{self.downsample_factor}": out}
         out = _PointwiseConv(self.n_classes, x.ndim - 2, name="head")(x)
         return {f"{self.key_prefix}_{self.downsample_factor}": out}
 
@@ -263,13 +336,50 @@ class VoxelDecoder(nn.Module):
         for i in range(3):
             x = DecoderBlock(n, upsample=True, name=f"middle_{i}")(x, w)
 
-        x = DecoderBlock(n // 2, upsample=True, name="conv1")(x, w)
-        out4 = make_head("voxel", self.semantic_n_channels, 4, "head_4")(x)
-        x = DecoderBlock(n // 4, upsample=True, name="conv2")(x, w)
-        out2 = make_head("voxel", self.semantic_n_channels, 2, "head_2")(x)
-        x = DecoderBlock(n // 8, upsample=True, name="conv3")(x, w)
-        out1 = make_head("voxel", self.semantic_n_channels, 1, "head_1")(x)
-        return {**out4, **out2, **out1}
+        # The large scales run z-folded on TPU: once a stage's (doubled)
+        # shapes fit the Pallas z-fold kernel, the trunk stays 4-D
+        # (B, X, Y, Z*C) through blocks and heads — 5-D tensors at these
+        # sizes cost 5-8x layout padding (ops/pallas_zconv.py).
+        from muvo_tpu.ops.conv3d_zband import pallas_voxel_path
+
+        out: Dict[str, jnp.ndarray] = {}
+        folded = None  # (x4, (Z, C)) once the trunk folds
+        for out_c, k, bname, hname in (
+            (n // 2, 4, "conv1", "head_4"),
+            (n // 4, 2, "conv2", "head_2"),
+            (n // 8, 1, "conv3", "head_1"),
+        ):
+            if folded is not None:
+                # re-check the upcoming (doubled) shapes; unfold if the
+                # kernel can't take this stage
+                x4, (Z0, C0) = folded
+                bb, X0, Y0, _ = x4.shape
+                big = (bb, 2 * X0, 2 * Y0, 2 * Z0, C0)
+                if not (pallas_voxel_path(big, out_c)
+                        and pallas_voxel_path(big[:4] + (out_c,), out_c)):
+                    x = x4.reshape(bb, X0, Y0, Z0, C0)
+                    folded = None
+            if folded is None:
+                big = (x.shape[0], 2 * x.shape[1], 2 * x.shape[2],
+                       2 * x.shape[3], x.shape[4])
+                both_convs_ok = (
+                    pallas_voxel_path(big, out_c)
+                    and pallas_voxel_path(big[:4] + (out_c,), out_c)
+                )
+                if both_convs_ok:
+                    bb, X1, Y1, Z1, C1 = x.shape
+                    folded = (x.reshape(bb, X1, Y1, Z1 * C1), (Z1, C1))
+            if folded is not None:
+                x4, zc = DecoderBlock(out_c, upsample=True, name=bname)(
+                    folded[0], w, folded_zc=folded[1])
+                folded = (x4, zc)
+                out.update(make_head("voxel", self.semantic_n_channels, k,
+                                     hname)(x4, folded_zc=zc))
+            else:
+                x = DecoderBlock(out_c, upsample=True, name=bname)(x, w)
+                out.update(make_head("voxel", self.semantic_n_channels, k,
+                                     hname)(x))
+        return out
 
 
 class VoxelDecoderScale(nn.Module):

@@ -222,20 +222,82 @@ def conv3d_zblock_ext(x, kernel, bias=None, block: int = 16):
     return y
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def pallas_voxel_path(x_shape, out_channels: int) -> bool:
+    """True when a Conv3dZBand on this input will take the fused Pallas
+    path (TPU, auto mode, shapes alignable) — callers use it to keep the
+    surrounding ops in the folded row-major domain. MUVO_CONV3D=pallas
+    forces the path regardless of platform (interpret mode off-TPU, for
+    tests)."""
+    import os
+
+    from muvo_tpu.ops.pallas_zconv import pallas_zconv_available
+
+    mode = os.environ.get("MUVO_CONV3D", "auto")
+    ok = pallas_zconv_available(x_shape[-2], x_shape[-1], out_channels,
+                                x_shape[1])
+    if mode == "pallas":
+        return ok
+    return mode == "auto" and _on_tpu() and ok
+
+
 class Conv3dZBand(nn.Module):
     """Drop-in 3x3x3 'SAME' conv3d with z-folded MXU lowering.
 
-    Small Z folds entirely (z-band); large Z uses overlapping blocks sized so
-    the output width fills the 128 MXU lanes.
+    Small Z folds entirely (z-band); large Z uses a Pallas kernel that does
+    the blocked banded matmul straight from haloed VMEM tiles (on TPU;
+    ops/pallas_zconv.py — no overlapped-block materialisation, no unfold
+    transpose, bias + LeakyReLU fused) with the XLA overlapping-block conv
+    as the portable fallback.
+
+    ``fuse_leaky``: apply LeakyReLU(slope) inside the kernel; the caller
+    must then skip its own activation. Only honoured on the Pallas path —
+    when None or on fallback paths the caller's activation runs as usual,
+    so set it and branch on ``fused_activation``.
     """
 
     features: int
     use_bias: bool = True
+    fuse_leaky: float = None
 
-    @nn.compact
-    def __call__(self, x):
+    @property
+    def _mode(self) -> str:
         import os
 
+        return os.environ.get("MUVO_CONV3D", "auto")
+
+    def fused_activation(self, x_shape) -> bool:
+        """True when __call__ on this input applies fuse_leaky itself."""
+        return (self.fuse_leaky is not None
+                and pallas_voxel_path(x_shape, self.features))
+
+    @nn.compact
+    def __call__(self, x, folded_zc=None):
+        if folded_zc is not None:
+            # z-folded io: x (B, X, Y, Z*C) -> (B, X, Y, Z*Cout); caller
+            # guarantees pallas_voxel_path() held for these shapes
+            from muvo_tpu.ops.pallas_zconv import (
+                _pick_f, zconv3d_leaky_folded,
+            )
+
+            Z, C = folded_zc
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (3, 3, 3, C, self.features),
+            )
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+            return zconv3d_leaky_folded(
+                x, kernel.astype(x.dtype), bias, C,
+                _pick_f(Z, C, self.features), self.fuse_leaky,
+                not _on_tpu(),
+            )
         c_in = x.shape[-1]
         z = x.shape[-2]
         kernel = self.param(
@@ -244,7 +306,21 @@ class Conv3dZBand(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         # perf-experiment escape hatch (identical math; trace-time only)
-        mode = os.environ.get("MUVO_CONV3D", "auto")
+        mode = self._mode
+        if self.fused_activation(x.shape):
+            from muvo_tpu.ops.pallas_zconv import _pick_f, zconv3d_leaky
+
+            return zconv3d_leaky(x, kernel.astype(x.dtype),
+                                 None if bias is None else bias,
+                                 _pick_f(z, c_in, self.features),
+                                 self.fuse_leaky, not _on_tpu())
+        if pallas_voxel_path(x.shape, self.features) and z > 18:
+            from muvo_tpu.ops.pallas_zconv import _pick_f, zconv3d_leaky
+
+            return zconv3d_leaky(x, kernel.astype(x.dtype),
+                                 None if bias is None else bias,
+                                 _pick_f(z, c_in, self.features),
+                                 None, not _on_tpu())
         if mode == "xla":
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (1, 1, 1),
@@ -252,12 +328,14 @@ class Conv3dZBand(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
             return y + bias.astype(x.dtype) if bias is not None else y
-        if mode == "ext" and z > 18:
+        if mode in ("ext", "halofree") and z > 18:
             block = max(1, 128 // self.features)
             while z % block != 0:
                 block //= 2
             if block > 2:
-                return conv3d_zblock_ext(x, kernel, bias, block=block)
+                fn = (conv3d_zblock_ext if mode == "ext"
+                      else conv3d_zblock_halofree)
+                return fn(x, kernel, bias, block=block)
         if z <= 18:  # full-band FLOP overhead (z/3) still cheap
             return conv3d_zband(x, kernel, bias)
         block = max(1, 128 // self.features)

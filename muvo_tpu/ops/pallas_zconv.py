@@ -1,0 +1,317 @@
+"""Pallas TPU kernel for the z-folded 3-D convolution (+ bias + LeakyReLU).
+
+The XLA lowering of the blocked z-fold conv (ops/conv3d_zband.py) spends more
+time materialising overlapped z-blocks and shuffling layouts than it does on
+the MXU: profiling the flagship step shows the voxel decoder at 409 ms of a
+715 ms step, roughly half of it fold copies / pad-slices / layout moves
+around the conv matmuls. This kernel performs the same banded matmul
+directly from a haloed VMEM tile:
+
+  * input stays (B, X+2, Y+2, (Z+2)*C) in HBM (one cheap XLA pad + free
+    reshape); each grid step DMAs one (xt+2, Y+2, (f+2)*C) stripe with the
+    next stripe prefetched double-buffered,
+  * the banded weight (3, 3, (f+2)*C, f*Cout) is built once per call from
+    the ordinary (3, 3, 3, C, Cout) parameter (zero outside |dz| <= 1) and
+    lives whole in VMEM,
+  * 9 MXU matmuls per stripe accumulate in fp32, bias + LeakyReLU fuse in,
+  * the output block (xt, Y, f*Cout) writes straight into a
+    (B, X, Y, Z*Cout) buffer — a free bitcast away from (B, X, Y, Z, Cout),
+    so no unfold transpose exists at all.
+
+Backward: dx is the same kernel with the adjoint banded weight (spatially
+flipped kernel, C/Cout swapped); dW is one XLA reduction conv (contraction
+over batch and all of space); dbias a sum. Wrapped in jax.custom_vjp so the
+fused bias+LeakyReLU differentiates correctly.
+
+Reference op: muvo/models/common.py:498-546 VoxelDecoder1's 3x3x3 convs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def banded_weight(kernel: jnp.ndarray, f: int, dtype) -> jnp.ndarray:
+    """(3, 3, 3, C, Cout) -> (3, 3, (f+2)*C, f*Cout) block-banded over z.
+
+    Input rows are the f+2 z-slices [z0-1 .. z0+f] feeding a block of f
+    outputs; W[(i, ci), (j, co)] = kernel[.., i - j, ci, co] for i-j in
+    {0, 1, 2} (i indexes the haloed input, j the block output).
+    """
+    _, _, kd, C, Cout = kernel.shape
+    assert kd == 3
+    W = jnp.zeros((3, 3, f + 2, C, f, Cout), dtype)
+    for dz in range(3):
+        idx_j = jnp.arange(f)
+        idx_i = idx_j + dz  # input z (haloed) = output z + dz
+        W = W.at[:, :, idx_i, :, idx_j, :].add(
+            kernel[:, :, dz].astype(dtype)[None]
+        )
+    return W.reshape(3, 3, (f + 2) * C, f * Cout)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
+                      slope: Optional[float], out_dtype, interpret: bool):
+    """xpad2: (B, X+2, Yp, Zp*C) — Y and Z*C padded so the tiled (sublane,
+    lane) dims of every DMA slice are (8, 128)-aligned. Wb: (3, 3, (f+2)C,
+    f*Cout); bias_row: (1, f*Cout) or None. Returns (B, X, Y, Z*Cout).
+
+    Grid walks (B, X/xt) stripes; each stripe DMAs its full (Yp, Zp*C) slab
+    once (next stripe prefetched, double-buffered) and the z-block loop runs
+    over lane-offset windows in VMEM, so no overlapped z-halo is ever
+    materialised in HBM.
+    """
+    zb = Z // f
+    nX = X // xt
+    N = B * nX
+    fco = f * Cout
+    fc_in = (f + 2) * C
+    Yp = xpad2.shape[2]
+    ZpC = xpad2.shape[3]
+
+    has_bias = bias_row is not None
+
+    def kernel(xpad_ref, wb_ref, *rest):
+        if has_bias:
+            bias_ref, out_ref, scratch, sem = rest
+        else:
+            out_ref, scratch, sem = rest
+        i = pl.program_id(0)
+
+        def dma(step, slot):
+            xi = jax.lax.rem(step, nX)
+            b = step // nX
+            return pltpu.make_async_copy(
+                xpad_ref.at[b, pl.ds(xi * xt, xt + 2), :, :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _():
+            dma(i, slot).start()
+
+        @pl.when(i + 1 < N)
+        def _():
+            dma(i + 1, 1 - slot).start()
+
+        dma(i, slot).wait()
+        tile = scratch[slot]  # (xt+2, Yp, Zp*C)
+
+        for zbi in range(zb):
+            off = zbi * f * C  # multiple of 128 by construction of f
+            acc = jnp.zeros((xt * Y, fco), jnp.float32)
+            for dx in range(3):
+                for dy in range(3):
+                    win = tile[dx:dx + xt, dy:dy + Y, off:off + fc_in]
+                    acc = acc + jnp.dot(
+                        win.reshape(xt * Y, fc_in), wb_ref[dx, dy],
+                        preferred_element_type=jnp.float32)
+            if has_bias:
+                acc = acc + bias_ref[:].astype(jnp.float32)
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            out_ref[0, :, :, zbi * fco:(zbi + 1) * fco] = (
+                acc.reshape(xt, Y, fco).astype(out_dtype))
+
+    def out_index(i):
+        return (i // nX, jax.lax.rem(i, nX), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [xpad2, Wb]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(bias_row)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, xt, Y, Z * Cout), out_index,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z * Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, xt + 2, Yp, ZpC), xpad2.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * zb * X * Y * 9 * fc_in * fco,
+            bytes_accessed=xpad2.size * xpad2.dtype.itemsize
+            + B * X * Y * Z * Cout * 2,
+            transcendentals=0,
+        ),
+    )(*operands)
+
+
+def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
+             cout: int = 0, itemsize: int = 2) -> int:
+    """Largest X tile whose VMEM footprint (double-buffered input stripes +
+    pipelined output blocks + accumulator) stays within ~12 MB."""
+    budget = 12 * 1024 * 1024
+    for xt in (8, 4, 2, 1):
+        if X % xt != 0:
+            continue
+        if not Yp:
+            return xt
+        scratch = 2 * (xt + 2) * Yp * ZpC * itemsize
+        out = 2 * xt * Y * Z * cout * itemsize
+        acc = xt * Y * 128 * 4 * 2
+        if scratch + out + acc <= budget:
+            return xt
+    return 1
+
+
+def _pad_folded(x4, C: int):
+    """4-D pad for the kernel: +1 x/y ring, z-halo as C zero lanes in front,
+    tail zeros to align the tiled (sublane, lane) dims to (8, 128).
+    Everything stays in the folded row-major domain — a 5-D pad here drew a
+    5.3x-padded layout from XLA (measured 10.7 GB on the flagship step)."""
+    import math
+
+    B, X, Y, ZC = x4.shape
+    Z = ZC // C
+    Yp = _round_up(Y + 2, 8)
+    zstep = 128 // math.gcd(C, 128)
+    Zp = _round_up(Z + 2, zstep)
+    xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, Yp - Y - 1),
+                        (C, (Zp - Z - 1) * C)))
+    return xpad, Yp, Zp
+
+
+def _fwd_folded(x4, kernel, bias, C: int, f: int, slope: Optional[float],
+                interpret: bool):
+    """x4: (B, X, Y, Z*C) folded; returns (B, X, Y, Z*Cout) folded."""
+    B, X, Y, ZC = x4.shape
+    Z = ZC // C
+    Cout = kernel.shape[-1]
+    dtype = x4.dtype
+    xpad2, Yp, Zp = _pad_folded(x4, C)
+    Wb = banded_weight(kernel, f, dtype)
+    bias_row = None
+    if bias is not None:
+        bias_row = jnp.tile(bias.astype(dtype), (f,)).reshape(1, f * Cout)
+    xt = _pick_xt(X, Yp, Zp * C, Y, Z, Cout, jnp.dtype(dtype).itemsize)
+    return _zconv_pallas_raw(
+        xpad2, Wb, bias_row, B=B, X=X, Y=Y, Z=Z, f=f, C=C, Cout=Cout,
+        xt=xt, slope=slope, out_dtype=dtype, interpret=interpret,
+    )
+
+
+def _pick_f(z: int, c_in: int, cout: int) -> int:
+    """Smallest z-block size that (a) divides z, (b) fills >= 128 output
+    lanes, and (c) puts both input (f*c_in) and output (f*cout) block
+    offsets on 128-lane boundaries. Returns 0 when impossible."""
+    f = max(1, 128 // cout)
+    while f <= z:
+        if (z % f == 0 and f * cout >= 128
+                and (f * c_in) % 128 == 0 and (f * cout) % 128 == 0):
+            return f
+        f *= 2
+    return 0
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def zconv3d_leaky_folded(x4, kernel, bias, C: int, f: int,
+                         slope: Optional[float], interpret: bool):
+    """LeakyReLU(conv3d_same + bias) on z-folded tensors, via the Pallas
+    z-fold kernel. x4: (B, X, Y, Z*C); kernel: (3, 3, 3, C, Cout); returns
+    (B, X, Y, Z*Cout). Grad flows to x4, kernel, bias — all gradient
+    tensors also stay folded (5-D shapes at this boundary cost multi-GB
+    padded layout copies)."""
+    return _fwd_folded(x4, kernel, bias, C, f, slope, interpret)
+
+
+def _vjp_fwd(x4, kernel, bias, C, f, slope, interpret):
+    out = _fwd_folded(x4, kernel, bias, C, f, slope, interpret)
+    return out, (x4, kernel, out, bias is not None)
+
+
+def _vjp_bwd(C, f, slope, interpret, res, dout):
+    x4, kernel, out, had_bias = res
+    B, X, Y, ZC = x4.shape
+    Z = ZC // C
+    Cout = kernel.shape[-1]
+
+    if slope is not None:
+        # d LeakyReLU: the pre-activation sign equals the output sign
+        g = jnp.where(out >= 0, dout, jnp.asarray(slope, dout.dtype) * dout)
+    else:
+        g = dout
+
+    if had_bias:
+        # reduce the big dims first; only the tiny (Z*Cout,) vector gets
+        # reshaped (a (-1, Cout) view of the full tensor would cost a
+        # 16x-padded 13.5 GB layout copy)
+        lane_sums = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        dbias = lane_sums.reshape(Z, Cout).sum(axis=0).astype(kernel.dtype)
+    else:
+        dbias = None
+
+    # dx: adjoint conv = same banded kernel, spatially flipped, C<->Cout
+    kernel_adj = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    # full-z fold (zb=1, offset 0) is always alignment-safe as a fallback
+    f_dx = _pick_f(Z, Cout, C) or Z
+    dx = _fwd_folded(g, kernel_adj, None, Cout, f_dx, None, interpret)
+
+    # dW: gradient of the banded weight via per-tap, per-z-block einsums on
+    # folded tensors, pulled back through banded_weight's own vjp. ~(f+2)/3x
+    # more FLOPs than a reduction conv on 5-D operands, but those operands
+    # would materialise in 5.3x-padded layouts.
+    xpad2, _, _ = _pad_folded(x4, C)
+    zb = Z // f
+    fco = f * Cout
+    fc_in = (f + 2) * C
+    dWb = jnp.zeros((3, 3, fc_in, fco), jnp.float32)
+    for dxi in range(3):
+        for dyi in range(3):
+            for zbi in range(zb):
+                win = jax.lax.dynamic_slice(
+                    xpad2, (0, dxi, dyi, zbi * f * C), (B, X, Y, fc_in))
+                go = jax.lax.dynamic_slice(
+                    g, (0, 0, 0, zbi * fco), (B, X, Y, fco))
+                dWb = dWb.at[dxi, dyi].add(jnp.einsum(
+                    "bxyi,bxyo->io", win, go,
+                    preferred_element_type=jnp.float32))
+    _, band_vjp = jax.vjp(
+        lambda k: banded_weight(k, f, jnp.float32), kernel.astype(jnp.float32)
+    )
+    (dW,) = band_vjp(dWb)
+    return dx, dW.astype(kernel.dtype), dbias
+
+
+zconv3d_leaky_folded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def zconv3d_leaky(x, kernel, bias, f: int, slope: Optional[float],
+                  interpret: bool):
+    """5-D convenience wrapper: (B, X, Y, Z, C) io around the folded op."""
+    B, X, Y, Z, C = x.shape
+    Cout = kernel.shape[-1]
+    out4 = zconv3d_leaky_folded(
+        x.reshape(B, X, Y, Z * C), kernel, bias, C, f, slope, interpret)
+    return out4.reshape(B, X, Y, Z, Cout)
+
+
+def pallas_zconv_available(z: int, c_in: int, cout: int, x_dim: int) -> bool:
+    """The kernel (and its adjoint for dx) need z divisible into
+    lane-filling blocks with 128-aligned offsets, and an X tile."""
+    return (z > 18
+            and _pick_f(z, c_in, cout) > 2
+            and _pick_f(z, cout, c_in) > 2
+            and x_dim % _pick_xt(x_dim) == 0)
