@@ -77,12 +77,13 @@ def main(n_steps: int = 12, warmup: int = 3, large: bool = False):
 
     cfg = get_cfg()
     cfg.merge_from_file("muvo_tpu/configs/muvo.yml")
-    # 4 sequences per chip (24 frames): decoder + encoder remat trade FLOPs
-    # for activation HBM, which fits batch 4 and beats batch 2 (33.4 vs 29.5
-    # frames/s/chip on v5e).
+    # 4 sequences per chip (24 frames) with decoder remat only: the folded
+    # voxel trunk freed enough HBM that encoder activations fit unremated
+    # (38.7 vs 38.5 f/s/chip with encoder remat; batch 6 full-remat fits
+    # too but is slower at 35.8).
     cfg.BATCHSIZE = 4 * max(1, len(jax.devices()))
     cfg.MODEL.REMAT = True
-    cfg.MODEL.REMAT_ENCODER = True
+    cfg.MODEL.REMAT_ENCODER = False
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
     if large:
         # LARGE=True keeps stride-8 features: 5,184 fusion tokens/frame
