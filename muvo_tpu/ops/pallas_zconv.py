@@ -150,6 +150,9 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * zb * X * Y * 9 * fc_in * fco,
             bytes_accessed=xpad2.size * xpad2.dtype.itemsize
@@ -162,8 +165,9 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
 def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
              cout: int = 0, itemsize: int = 2) -> int:
     """Largest X tile whose VMEM footprint (double-buffered input stripes +
-    pipelined output blocks + accumulator) stays within ~12 MB."""
-    budget = 12 * 1024 * 1024
+    pipelined output blocks + accumulator) stays within the raised Mosaic
+    scoped-vmem budget."""
+    budget = 26 * 1024 * 1024
     for xt in (8, 4, 2, 1):
         if X % xt != 0:
             continue

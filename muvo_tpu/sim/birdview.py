@@ -45,6 +45,7 @@ class StaticMap:
     lane_marking: np.ndarray  # (H, W) uint8
     pixels_per_meter: float
     world_offset: Tuple[float, float]  # world coords of pixel (0, 0)
+    lane_marking_broken: Optional[np.ndarray] = None  # white-broken subset
 
     def world_to_pixel(self, x, y):
         px = (x - self.world_offset[0]) * self.pixels_per_meter
@@ -64,6 +65,9 @@ class BirdviewRenderer:
         self._history_len = history_len
         self._vehicle_history: List[List[ActorBox]] = []
         self._walker_history: List[List[ActorBox]] = []
+        # (green, yellow, red, stop) box lists per tick
+        self._light_history: List[Tuple[List[ActorBox], List[ActorBox],
+                                        List[ActorBox], List[ActorBox]]] = []
 
     # ------------------------------------------------------------------
     def _warp_transform(self, ev_x, ev_y, ev_yaw_deg):
@@ -121,57 +125,73 @@ class BirdviewRenderer:
                route_xy: np.ndarray,
                tl_green: Sequence[ActorBox] = (),
                tl_yellow: Sequence[ActorBox] = (),
-               tl_red: Sequence[ActorBox] = ()) -> Dict[str, np.ndarray]:
-        """Returns {'masks': (C, H, W) uint8, 'rendered': (H, W, 3) uint8}.
+               tl_red: Sequence[ActorBox] = (),
+               stops: Sequence[ActorBox] = ()) -> Dict[str, np.ndarray]:
+        """Returns {'masks': (15, H, W) uint8, 'rendered': (H, W, 3) uint8}.
 
-        Channel layout matches the reference collection format consumed by
-        preprocess_birdview_and_routemap: 0 road, 1 route, 2 lane marking,
-        3..3+K-1 vehicle history (newest last), then walker history, last
-        channel = traffic light (green 80 / yellow 170 / red 255).
+        Channel layout matches the reference exactly
+        (chauffeurnet.py:188-208): 0 road, 1 route, 2 lane marking (255,
+        white-broken subset re-marked 120), 3..6 vehicle history (newest
+        last), 7..10 walker history, 11..14 traffic-light+stop history
+        (green 80 / yellow 170 / red 255 / stop 255).
         """
         M = self._warp_transform(ev_x, ev_y, ev_yaw_deg)
 
         road = self._warp(self._map.road, M)
         lanes = self._warp(self._map.lane_marking, M)
+        if self._map.lane_marking_broken is not None:
+            broken = self._warp(self._map.lane_marking_broken, M)
+            lanes = lanes.copy()
+            lanes[broken > 0] = 120
         route = self._route_mask(route_xy, M)
 
         self._vehicle_history.append(list(vehicles))
         self._walker_history.append(list(walkers))
+        self._light_history.append(
+            (list(tl_green), list(tl_yellow), list(tl_red), list(stops)))
         self._vehicle_history = self._vehicle_history[-self._history_len:]
         self._walker_history = self._walker_history[-self._history_len:]
+        self._light_history = self._light_history[-self._history_len:]
 
         vehicle_masks = [
             self._actor_mask(h, M) for h in self._vehicle_history
         ]
         walker_masks = [self._actor_mask(h, M) for h in self._walker_history]
+        tl_masks = []
+        for green, yellow, red, stop in self._light_history:
+            tl = np.zeros_like(road)
+            for boxes, value in ((green, 80), (yellow, 170), (red, 255),
+                                 (stop, 255)):
+                m = self._actor_mask(boxes, M)
+                tl[m > 0] = value
+            tl_masks.append(tl)
         while len(vehicle_masks) < self._history_len:
             vehicle_masks.insert(0, np.zeros_like(road))
         while len(walker_masks) < self._history_len:
             walker_masks.insert(0, np.zeros_like(road))
-
-        tl_mask = np.zeros_like(road)
-        for boxes, value in ((tl_green, 80), (tl_yellow, 170), (tl_red, 255)):
-            m = self._actor_mask(boxes, M)
-            tl_mask[m > 0] = value
+        while len(tl_masks) < self._history_len:
+            tl_masks.insert(0, np.zeros_like(road))
 
         masks = np.stack(
-            [road, route, lanes] + vehicle_masks + walker_masks + [tl_mask],
+            [road, route, lanes] + vehicle_masks + walker_masks + tl_masks,
             axis=0,
         )
 
+        tl_now = tl_masks[-1]
         rendered = np.zeros((self._width, self._width, 3), np.uint8)
         rendered[road > 0] = (85, 85, 85)
         rendered[lanes > 0] = (150, 150, 150)
         rendered[route > 0] = (80, 70, 120)
         rendered[vehicle_masks[-1] > 0] = (0, 83, 138)
         rendered[walker_masks[-1] > 0] = (127, 255, 212)
-        rendered[tl_mask == 255] = (220, 20, 60)
-        rendered[tl_mask == 80] = (50, 205, 50)
+        rendered[tl_now == 255] = (220, 20, 60)
+        rendered[tl_now == 80] = (50, 205, 50)
         return {"masks": masks, "rendered": rendered}
 
     def reset(self):
         self._vehicle_history.clear()
         self._walker_history.clear()
+        self._light_history.clear()
 
 
 def load_static_map_h5(path: str) -> StaticMap:
@@ -182,7 +202,9 @@ def load_static_map_h5(path: str) -> StaticMap:
         road = np.asarray(f["road"])
         lane = np.asarray(f["lane_marking_all"]) if "lane_marking_all" in f \
             else np.asarray(f.get("lane_marking", np.zeros_like(road)))
+        broken = (np.asarray(f["lane_marking_white_broken"])
+                  if "lane_marking_white_broken" in f else None)
         ppm = float(np.asarray(f.attrs["pixels_per_meter"]))
         offset = tuple(np.asarray(f.attrs["world_offset_in_meters"]))
     return StaticMap(road=road, lane_marking=lane, pixels_per_meter=ppm,
-                     world_offset=offset)
+                     world_offset=offset, lane_marking_broken=broken)

@@ -86,7 +86,7 @@ class KinematicDrivingEnv:
 
         # birdview masks: route polyline rendered into channel 1, road 0
         bh, bw = self._bev_hw
-        masks = np.zeros((12, bh, bw), np.uint8)
+        masks = np.zeros((15, bh, bw), np.uint8)  # reference channel layout
         masks[0] = 255
         ego = np.array([self._ego.x, self._ego.y])
         cos, sin = math.cos(-self._ego.yaw), math.sin(-self._ego.yaw)

@@ -34,7 +34,9 @@ class ObsManager(ObsManagerBase):
         super().__init__()
 
     def _define_obs_space(self):
-        n_channels = 3 + 4 + 4 + 1
+        # road/route/lane + vehicle, walker and traffic-light+stop history
+        # (reference chauffeurnet.py:205-207)
+        n_channels = 3 + 4 + 4 + 4
         self.obs_space = gym.spaces.Dict({
             "rendered": gym.spaces.Box(
                 0, 255, (self._width, self._width, 3), np.uint8
@@ -80,7 +82,7 @@ class ObsManager(ObsManagerBase):
             [wp[:2] for wp, _ in route[idx:idx + 80]]
         ) if route else np.zeros((0, 2))
 
-        tl_green, tl_yellow, tl_red = [], [], []
+        tl_green, tl_yellow, tl_red, stops = [], [], [], []
         try:
             import carla
 
@@ -96,12 +98,18 @@ class ObsManager(ObsManagerBase):
                     tl_yellow.append(box)
                 else:
                     tl_red.append(box)
+            for sign in self._world.get_actors().filter("traffic.stop"):
+                stf = sign.get_transform()
+                if stf.location.distance(tf.location) > self._distance_threshold:
+                    continue
+                stops.append(ActorBox(stf.location.x, stf.location.y,
+                                      stf.rotation.yaw, 1.5, 1.5))
         except ImportError:
             pass
 
         return self._renderer.render(
             tf.location.x, tf.location.y, tf.rotation.yaw,
-            vehicles, walkers, route_xy, tl_green, tl_yellow, tl_red,
+            vehicles, walkers, route_xy, tl_green, tl_yellow, tl_red, stops,
         )
 
     def clean(self):

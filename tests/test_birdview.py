@@ -23,7 +23,7 @@ def test_render_shapes_and_ego_up():
         walkers=[], route_xy=np.array([[40.0, 40.0], [60.0, 40.0]]),
     )
     masks, rendered = out["masks"], out["rendered"]
-    assert masks.shape == (12, 192, 192)
+    assert masks.shape == (15, 192, 192)
     assert rendered.shape == (192, 192, 3)
     # ego drives along +x; facing up means road ahead occupies upper rows
     road = masks[0]

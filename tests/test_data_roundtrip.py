@@ -17,7 +17,7 @@ rng = np.random.RandomState(11)
 
 
 def make_obs(h=96, w=160):
-    masks = np.zeros((12, 64, 64), np.uint8)
+    masks = np.zeros((15, 64, 64), np.uint8)
     masks[0] = 255  # road everywhere
     masks[1, 20:40, 30:34] = 255  # route
     masks[-1, 10, 10] = 80  # green light

@@ -10,7 +10,7 @@ from muvo_tpu.sim.kinematic_env import KinematicDrivingEnv
 def test_env_steps_and_terminates():
     env = KinematicDrivingEnv(seed=0, episode_steps=30)
     obs = env.reset()
-    assert "hero" in obs and obs["hero"]["birdview"]["masks"].shape == (12, 192, 192)
+    assert "hero" in obs and obs["hero"]["birdview"]["masks"].shape == (15, 192, 192)
     total = 0.0
     done = False
     for _ in range(40):

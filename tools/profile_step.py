@@ -38,7 +38,7 @@ def run_and_trace(trace_dir: str):
     )
     cfg.BATCHSIZE = 4 * max(1, len(jax.devices()))
     cfg.MODEL.REMAT = True
-    cfg.MODEL.REMAT_ENCODER = True
+    cfg.MODEL.REMAT_ENCODER = False  # matches bench.py (38.8 f/s config)
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
 
     mesh = make_mesh()

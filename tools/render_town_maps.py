@@ -40,9 +40,23 @@ def render_map(world, ppm: float):
 
     road = np.zeros((height, width), np.uint8)
     lane_marking = np.zeros((height, width), np.uint8)
+    lane_broken = np.zeros((height, width), np.uint8)
 
     def to_px(loc):
         return (int((loc.x - min_x) * ppm), int((loc.y - min_y) * ppm))
+
+    def is_broken(marking):
+        try:
+            import carla
+
+            return marking.type in (
+                carla.LaneMarkingType.Broken,
+                carla.LaneMarkingType.BrokenBroken,
+                carla.LaneMarkingType.SolidBroken,
+                carla.LaneMarkingType.BrokenSolid,
+            )
+        except Exception:
+            return False
 
     for entry_wp, _ in topology:
         wps = [entry_wp]
@@ -53,7 +67,9 @@ def render_map(world, ppm: float):
                 break
             wp = nxt[0]
             wps.append(wp)
-        # road polygon from lane edges
+        # road polygon from lane edges; lane markings along both edges with
+        # the white-broken subset in its own layer (reference
+        # birdview_map.py draws per-type/per-colour markings)
         left = []
         right = []
         for wp in wps:
@@ -65,11 +81,14 @@ def render_map(world, ppm: float):
         if len(left) >= 2:
             poly = np.array(left + right[::-1], np.int32)
             cv2.fillPoly(road, [poly], 255)
-            centers = np.array([to_px(w.transform.location) for w in wps],
-                               np.int32)
-            cv2.polylines(lane_marking, [centers], False, 255, thickness=1)
+            for side, attr in ((left, "left_lane_marking"),
+                               (right, "right_lane_marking")):
+                pts = np.array(side, np.int32)
+                cv2.polylines(lane_marking, [pts], False, 255, thickness=1)
+                if is_broken(getattr(wps[len(wps) // 2], attr)):
+                    cv2.polylines(lane_broken, [pts], False, 255, thickness=1)
 
-    return road, lane_marking, (min_x, min_y)
+    return road, lane_marking, lane_broken, (min_x, min_y)
 
 
 def main():
@@ -90,11 +109,13 @@ def main():
 
     for town in args.towns:
         world = client.load_world(town)
-        road, lane, offset = render_map(world, args.ppm)
+        road, lane, broken, offset = render_map(world, args.ppm)
         path = os.path.join(args.out, f"{town}.h5")
         with h5py.File(path, "w") as f:
             f.create_dataset("road", data=road, compression="gzip")
             f.create_dataset("lane_marking_all", data=lane,
+                             compression="gzip")
+            f.create_dataset("lane_marking_white_broken", data=broken,
                              compression="gzip")
             f.attrs["pixels_per_meter"] = args.ppm
             f.attrs["world_offset_in_meters"] = np.asarray(offset)
