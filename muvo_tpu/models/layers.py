@@ -197,6 +197,14 @@ def _linear_up_matrix(n: int) -> jnp.ndarray:
     return jnp.asarray(np.asarray(rows, np.float32))
 
 
+def upsample2x_xy_folded(x4):
+    """2x bilinear x/y upsample of a z-folded (B, X, Y, L) tensor, lanes
+    untouched — pairs with the fused z-upsample conv kernel
+    (ops/pallas_zconv.upzconv3d_leaky_folded)."""
+    B, X, Y, L = x4.shape
+    return jax.image.resize(x4, (B, 2 * X, 2 * Y, L), method="linear")
+
+
 def upsample2x_trilinear_folded(x4, Z: int, C: int):
     """Trilinear 2x upsample on a z-folded (B, X, Y, Z*C) tensor ->
     (B, 2X, 2Y, 2Z*C), never leaving the folded row-major domain: the z

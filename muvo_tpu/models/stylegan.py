@@ -79,17 +79,21 @@ class ConvInstanceNorm(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, w, folded_zc=None):
+    def __call__(self, x, w, folded_zc=None, z_upsample: bool = False):
         if folded_zc is not None:
             # z-folded voxel path (TPU): Pallas conv with the LeakyReLU
-            # fused, AdaIN on the folded view — no 5-D tensor exists
+            # fused, AdaIN on the folded view — no 5-D tensor exists.
+            # z_upsample fuses the 2x trilinear z-interp into the conv
+            # (folded_zc then gives the SMALL z; output z doubles).
             from muvo_tpu.ops.conv3d_zband import Conv3dZBand
 
             Z, C = folded_zc
             x = Conv3dZBand(self.out_channels, fuse_leaky=0.2,
-                            name="conv")(x, folded_zc=(Z, C))
+                            name="conv")(x, folded_zc=(Z, C),
+                                         z_upsample=z_upsample)
+            z_out = 2 * Z if z_upsample else Z
             return AdaptiveInstanceNorm(self.out_channels, name="adain")(
-                x, w, folded_zc=(Z, self.out_channels))
+                x, w, folded_zc=(z_out, self.out_channels))
         if x.ndim == 5 and x.shape[-1] <= 64:
             # small-channel conv3d: z-band lowering keeps the MXU busy
             from muvo_tpu.ops.conv3d_zband import Conv3dZBand
@@ -114,14 +118,31 @@ class DecoderBlock(nn.Module):
         if folded_zc is not None:
             # z-folded voxel path: x is (B, X, Y, Z*C); returns
             # ((B, 2X, 2Y, 2Z*out), (2Z, out)) — see VoxelDecoder
-            from muvo_tpu.models.layers import upsample2x_trilinear_folded
+            from muvo_tpu.models.layers import (
+                upsample2x_trilinear_folded,
+                upsample2x_xy_folded,
+            )
+            from muvo_tpu.ops.pallas_zconv import pallas_upzconv_available
 
             Z, C = folded_zc
             if self.upsample:
-                x = upsample2x_trilinear_folded(x, Z, C)
-                Z = 2 * Z
-            x = ConvInstanceNorm(self.out_channels, name="conv1")(
-                x, w, folded_zc=(Z, C))
+                if pallas_upzconv_available(Z, C, self.out_channels,
+                                            2 * x.shape[1]):
+                    # x/y via folded resize on the small-z tensor; the z
+                    # interp composes into conv1's banded weight (halves
+                    # its contraction and the resize traffic)
+                    x = upsample2x_xy_folded(x)
+                    x = ConvInstanceNorm(self.out_channels, name="conv1")(
+                        x, w, folded_zc=(Z, C), z_upsample=True)
+                    Z = 2 * Z
+                else:
+                    x = upsample2x_trilinear_folded(x, Z, C)
+                    Z = 2 * Z
+                    x = ConvInstanceNorm(self.out_channels, name="conv1")(
+                        x, w, folded_zc=(Z, C))
+            else:
+                x = ConvInstanceNorm(self.out_channels, name="conv1")(
+                    x, w, folded_zc=(Z, C))
             x = ConvInstanceNorm(self.out_channels, name="conv2")(
                 x, w, folded_zc=(Z, self.out_channels))
             return x, (Z, self.out_channels)

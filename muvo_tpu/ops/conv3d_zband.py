@@ -278,7 +278,26 @@ class Conv3dZBand(nn.Module):
                 and pallas_voxel_path(x_shape, self.features))
 
     @nn.compact
-    def __call__(self, x, folded_zc=None):
+    def __call__(self, x, folded_zc=None, z_upsample: bool = False):
+        if folded_zc is not None and z_upsample:
+            # fused trilinear z-upsample + conv: x is x/y-upsampled with
+            # SMALL z folded in the lanes; folded_zc = (Zs, C)
+            from muvo_tpu.ops.pallas_zconv import (
+                _pick_f_up, upzconv3d_leaky_folded,
+            )
+
+            Zs, C = folded_zc
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (3, 3, 3, C, self.features),
+            )
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+            return upzconv3d_leaky_folded(
+                x, kernel.astype(x.dtype), bias, C,
+                _pick_f_up(Zs, C, self.features), self.fuse_leaky,
+                not _on_tpu(),
+            )
         if folded_zc is not None:
             # z-folded io: x (B, X, Y, Z*C) -> (B, X, Y, Z*Cout); caller
             # guarantees pallas_voxel_path() held for these shapes

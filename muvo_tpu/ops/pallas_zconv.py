@@ -60,11 +60,95 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def _up_matrix_np(n: int):
+    """(2n, n) half-pixel 2x linear interpolation (edges clamped)."""
+    import numpy as np
+
+    U = np.zeros((2 * n, n), np.float32)
+    for u in range(2 * n):
+        k = u // 2
+        if u % 2 == 0:
+            U[u, max(k - 1, 0)] += 0.25
+            U[u, k] += 0.75
+        else:
+            U[u, k] += 0.75
+            U[u, min(k + 1, n - 1)] += 0.25
+    return U
+
+
+def _z_coeff_np(Zs: int):
+    """B[z, s, dz] = Upad[z + dz - 1, s]: the scalar weight tying big-z
+    output z to small-z input s through conv tap dz, composing the 2x
+    z-upsample (clamped) with the conv's zero padding."""
+    import numpy as np
+
+    U = _up_matrix_np(Zs)
+    Upad = np.zeros((2 * Zs + 2, Zs), np.float32)
+    Upad[1:2 * Zs + 1] = U
+    B = np.zeros((2 * Zs, Zs, 3), np.float32)
+    for dz in range(3):
+        B[:, :, dz] = Upad[dz: dz + 2 * Zs]
+    return B
+
+
+def up_banded_weight(kernel: jnp.ndarray, Zs: int, f: int, dtype):
+    """Per-z-block weights for the FUSED upsample+conv: (zb, 3, 3, fs*C,
+    f*Cout) where fs = f//2 + 2 small-z slices (1-slice halo each side,
+    matching a front-padded input) feed each block of f big-z outputs.
+    Blocks differ at the z edges (upsample clamping / conv zero pad), so
+    the block axis is explicit."""
+    import numpy as np
+
+    _, _, _, C, Cout = kernel.shape
+    Z = 2 * Zs
+    zb = Z // f
+    fs = f // 2 + 2
+    B = _z_coeff_np(Zs)
+    # A[b, j, i, dz]: coefficient of padded small slice i (original
+    # s = s0 + i - 1, s0 = b*f//2) on block output j (big z = b*f + j)
+    A = np.zeros((zb, f, fs, 3), np.float32)
+    for b in range(zb):
+        for i in range(fs):
+            s = b * (f // 2) + i - 1
+            if 0 <= s < Zs:
+                A[b, :, i, :] = B[b * f: (b + 1) * f, s, :]
+    A = jnp.asarray(A)
+    W2 = jnp.einsum("bjid,xydce->bxyicje", A, kernel.astype(jnp.float32))
+    return W2.reshape(zb, 3, 3, fs * C, f * Cout).astype(dtype)
+
+
+def up_banded_adjoint_weight(kernel: jnp.ndarray, Zs: int, fp: int, dtype):
+    """Adjoint per-block weights: (zb', 3, 3, win*Cout, fp*C) mapping a
+    window of win = 2*fp + 4 big-z grad slices (front-padded by 2) onto a
+    block of fp small-z inputs; spatial taps flipped, channels swapped."""
+    import numpy as np
+
+    _, _, _, C, Cout = kernel.shape
+    Z = 2 * Zs
+    zbp = Zs // fp
+    win = 2 * fp + 4
+    B = _z_coeff_np(Zs)
+    # A[b, j, i, dz]: coefficient of padded big grad slice i (original
+    # z = 2*b*fp - 2 + i) on small input j (s = b*fp + j)
+    A = np.zeros((zbp, fp, win, 3), np.float32)
+    for b in range(zbp):
+        for i in range(win):
+            z = 2 * b * fp - 2 + i
+            if 0 <= z < Z:
+                A[b, :, i, :] = B[z, b * fp: (b + 1) * fp, :]
+    A = jnp.asarray(A)
+    kflip = jnp.flip(kernel, axis=(0, 1)).astype(jnp.float32)
+    W2 = jnp.einsum("bjid,xydce->bxyiejc", A, kflip)
+    return W2.reshape(zbp, 3, 3, win * Cout, fp * C).astype(dtype)
+
+
 def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
-                      slope: Optional[float], out_dtype, interpret: bool):
+                      slope: Optional[float], out_dtype, interpret: bool,
+                      stride_lanes: Optional[int] = None):
     """xpad2: (B, X+2, Yp, Zp*C) — Y and Z*C padded so the tiled (sublane,
     lane) dims of every DMA slice are (8, 128)-aligned. Wb: (3, 3, (f+2)C,
-    f*Cout); bias_row: (1, f*Cout) or None. Returns (B, X, Y, Z*Cout).
+    f*Cout) shared, or (zb, 3, 3, win, f*Cout) per-block; bias_row:
+    (1, f*Cout) or None. Returns (B, X, Y, Z*Cout).
 
     Grid walks (B, X/xt) stripes; each stripe DMAs its full (Yp, Zp*C) slab
     once (next stripe prefetched, double-buffered) and the z-block loop runs
@@ -75,7 +159,12 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
     nX = X // xt
     N = B * nX
     fco = f * Cout
-    fc_in = (f + 2) * C
+    # per-block weights (leading zb axis) carry a custom input window and
+    # block stride — used by the fused upsample+conv; shared weights use
+    # the plain (f+2)-halo banded window
+    per_block = Wb.ndim == 5
+    fc_in = Wb.shape[-2]
+    stride = stride_lanes if stride_lanes is not None else f * C
     Yp = xpad2.shape[2]
     ZpC = xpad2.shape[3]
 
@@ -111,13 +200,14 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
         tile = scratch[slot]  # (xt+2, Yp, Zp*C)
 
         for zbi in range(zb):
-            off = zbi * f * C  # multiple of 128 by construction of f
+            off = zbi * stride  # multiple of 128 by construction
             acc = jnp.zeros((xt * Y, fco), jnp.float32)
             for dx in range(3):
                 for dy in range(3):
                     win = tile[dx:dx + xt, dy:dy + Y, off:off + fc_in]
+                    w = wb_ref[zbi, dx, dy] if per_block else wb_ref[dx, dy]
                     acc = acc + jnp.dot(
-                        win.reshape(xt * Y, fc_in), wb_ref[dx, dy],
+                        win.reshape(xt * Y, fc_in), w,
                         preferred_element_type=jnp.float32)
             if has_bias:
                 acc = acc + bias_ref[:].astype(jnp.float32)
@@ -181,20 +271,21 @@ def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
     return 1
 
 
-def _pad_folded(x4, C: int):
-    """4-D pad for the kernel: +1 x/y ring, z-halo as C zero lanes in front,
-    tail zeros to align the tiled (sublane, lane) dims to (8, 128).
-    Everything stays in the folded row-major domain — a 5-D pad here drew a
-    5.3x-padded layout from XLA (measured 10.7 GB on the flagship step)."""
+def _pad_folded(x4, C: int, front: int = 1, min_tail: int = 1):
+    """4-D pad for the kernel: +1 x/y ring, a z-halo of ``front`` zero
+    slices in front, and tail zeros to align the tiled (sublane, lane)
+    dims to (8, 128). Everything stays in the folded row-major domain — a
+    5-D pad here drew a 5.3x-padded layout from XLA (measured 10.7 GB on
+    the flagship step)."""
     import math
 
     B, X, Y, ZC = x4.shape
     Z = ZC // C
     Yp = _round_up(Y + 2, 8)
     zstep = 128 // math.gcd(C, 128)
-    Zp = _round_up(Z + 2, zstep)
+    Zp = _round_up(Z + front + min_tail, zstep)
     xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, Yp - Y - 1),
-                        (C, (Zp - Z - 1) * C)))
+                        (front * C, (Zp - Z - front) * C)))
     return xpad, Yp, Zp
 
 
@@ -310,6 +401,142 @@ def zconv3d_leaky(x, kernel, bias, f: int, slope: Optional[float],
     out4 = zconv3d_leaky_folded(
         x.reshape(B, X, Y, Z * C), kernel, bias, C, f, slope, interpret)
     return out4.reshape(B, X, Y, Z, Cout)
+
+
+# ---------------------------------------------------------------------------
+# Fused 2x z-upsample + conv: the trilinear z-interpolation composes into the
+# banded weight (out z-block of f big-z values reads f//2 + 2 small-z slices
+# instead of f + 2 big-z ones), nearly halving the conv contraction and
+# removing the separate z-interp matmul. x/y upsampling stays a folded resize
+# before the kernel, so its traffic also halves (small-z lanes).
+# ---------------------------------------------------------------------------
+def _pick_f_up(zs: int, c_in: int, cout: int) -> int:
+    """Big-z block size for the fused kernel: divides 2*zs, fills >= 128
+    output lanes, with both the small-z window stride ((f//2)*c_in) and the
+    output stride (f*cout) on 128-lane boundaries. 0 when impossible."""
+    f = max(2, 128 // cout)
+    while f <= 2 * zs:
+        if (f % 2 == 0 and (2 * zs) % f == 0 and f * cout >= 128
+                and (f * cout) % 128 == 0
+                and ((f // 2) * c_in) % 128 == 0):
+            return f
+        f *= 2
+    return 0
+
+
+def _pick_fp_up(zs: int, c_in: int, cout: int) -> int:
+    """Small-z block size for the adjoint: divides zs, >= 128 output lanes
+    (fp*c_in), grad window stride (2*fp*cout) on 128-lane boundaries."""
+    fp = max(1, 128 // c_in)
+    while fp <= zs:
+        if (zs % fp == 0 and fp * c_in >= 128 and (fp * c_in) % 128 == 0
+                and (2 * fp * cout) % 128 == 0):
+            return fp
+        fp *= 2
+    return 0
+
+
+def _fwd_up_folded(x4, kernel, bias, C: int, f: int, slope: Optional[float],
+                   interpret: bool):
+    """x4: (B, X, Y, Zs*C) with X, Y already 2x-upsampled; returns
+    (B, X, Y, 2*Zs*Cout) — trilinear z-upsample + conv + bias + leaky."""
+    B, X, Y, ZsC = x4.shape
+    Zs = ZsC // C
+    Z = 2 * Zs
+    Cout = kernel.shape[-1]
+    dtype = x4.dtype
+    xpad2, Yp, Zp = _pad_folded(x4, C)
+    W2 = up_banded_weight(kernel, Zs, f, dtype)
+    bias_row = None
+    if bias is not None:
+        bias_row = jnp.tile(bias.astype(dtype), (f,)).reshape(1, f * Cout)
+    xt = _pick_xt(X, Yp, Zp * C, Y, Z, Cout, jnp.dtype(dtype).itemsize)
+    return _zconv_pallas_raw(
+        xpad2, W2, bias_row, B=B, X=X, Y=Y, Z=Z, f=f, C=C, Cout=Cout,
+        xt=xt, slope=slope, out_dtype=dtype, interpret=interpret,
+        stride_lanes=(f // 2) * C,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def upzconv3d_leaky_folded(x4, kernel, bias, C: int, f: int,
+                           slope: Optional[float], interpret: bool):
+    """LeakyReLU(conv3d_same(trilinear_up_z(x)) + bias), fused. x4 must be
+    x/y-upsampled, z-folded (B, X, Y, Zs*C); output (B, X, Y, 2*Zs*Cout)."""
+    return _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret)
+
+
+def _up_vjp_fwd(x4, kernel, bias, C, f, slope, interpret):
+    out = _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret)
+    return out, (x4, kernel, out, bias is not None)
+
+
+def _up_vjp_bwd(C, f, slope, interpret, res, dout):
+    x4, kernel, out, had_bias = res
+    B, X, Y, ZsC = x4.shape
+    Zs = ZsC // C
+    Z = 2 * Zs
+    Cout = kernel.shape[-1]
+    dtype = x4.dtype
+
+    if slope is not None:
+        g = jnp.where(out >= 0, dout, jnp.asarray(slope, dout.dtype) * dout)
+    else:
+        g = dout
+
+    if had_bias:
+        lane_sums = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        dbias = lane_sums.reshape(Z, Cout).sum(axis=0).astype(kernel.dtype)
+    else:
+        dbias = None
+
+    # dx: adjoint of (upsample_z ∘ conv): per-block banded over big-z grads
+    fp = _pick_fp_up(Zs, C, Cout) or Zs
+    Wadj = up_banded_adjoint_weight(kernel, Zs, fp, dtype)
+    gpad2, Yp, _ = _pad_folded(g, Cout, front=2, min_tail=2)
+    ZpC_g = gpad2.shape[3]
+    xt = _pick_xt(X, Yp, ZpC_g, Y, Zs, C, jnp.dtype(dtype).itemsize)
+    dx = _zconv_pallas_raw(
+        gpad2, Wadj, None, B=B, X=X, Y=Y, Z=Zs, f=fp, C=Cout, Cout=C,
+        xt=xt, slope=None, out_dtype=dtype, interpret=interpret,
+        stride_lanes=2 * fp * Cout,
+    )
+
+    # dW: per-tap, per-block einsums pulled back through the weight builder
+    xpad2, _, _ = _pad_folded(x4, C)
+    zb = Z // f
+    fs = f // 2 + 2
+    fco = f * Cout
+    fc_in = fs * C
+    dW2 = jnp.zeros((zb, 3, 3, fc_in, fco), jnp.float32)
+    for dxi in range(3):
+        for dyi in range(3):
+            for zbi in range(zb):
+                win = jax.lax.dynamic_slice(
+                    xpad2, (0, dxi, dyi, zbi * (f // 2) * C),
+                    (B, X, Y, fc_in))
+                go = jax.lax.dynamic_slice(
+                    g, (0, 0, 0, zbi * fco), (B, X, Y, fco))
+                dW2 = dW2.at[zbi, dxi, dyi].add(jnp.einsum(
+                    "bxyi,bxyo->io", win, go,
+                    preferred_element_type=jnp.float32))
+    _, band_vjp = jax.vjp(
+        lambda k: up_banded_weight(k, Zs, f, jnp.float32),
+        kernel.astype(jnp.float32))
+    (dW,) = band_vjp(dW2)
+    return dx, dW.astype(kernel.dtype), dbias
+
+
+upzconv3d_leaky_folded.defvjp(_up_vjp_fwd, _up_vjp_bwd)
+
+
+def pallas_upzconv_available(zs: int, c_in: int, cout: int,
+                             x_dim: int) -> bool:
+    """Shapes fit the fused upsample+conv kernel and its adjoint."""
+    return (2 * zs > 18
+            and _pick_f_up(zs, c_in, cout) > 2
+            and _pick_fp_up(zs, c_in, cout) > 0
+            and x_dim % _pick_xt(x_dim) == 0)
 
 
 def pallas_zconv_available(z: int, c_in: int, cout: int, x_dim: int) -> bool:

@@ -125,3 +125,70 @@ def test_voxel_decoder_folded_matches_default(monkeypatch):
         # fp32 accumulation-order noise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=1e-2)
+
+
+def test_fused_upsample_conv_matches_reference():
+    """upzconv3d_leaky_folded == LeakyReLU(conv3d(trilinear_up_2x(x)) + b),
+    with x/y upsampled outside and z composed into the banded weight."""
+    from muvo_tpu.models.layers import upsample2x_trilinear
+    from muvo_tpu.ops.pallas_zconv import (
+        _pick_f_up,
+        upzconv3d_leaky_folded,
+    )
+
+    rs = np.random.RandomState(4)
+    B, Xs, Ys, Zs, C, Cout = 1, 4, 6, 16, 8, 4
+    x5 = jnp.asarray(rs.randn(B, Xs, Ys, Zs, C).astype(np.float32))
+    kernel = jnp.asarray(rs.randn(3, 3, 3, C, Cout).astype(np.float32))
+    bias = jnp.asarray(rs.randn(Cout).astype(np.float32))
+
+    up = upsample2x_trilinear(x5)
+    want = _reference(up, kernel, bias, 0.2)
+
+    # x/y upsample on the folded small-z tensor, z fused into the kernel
+    xy = jax.image.resize(
+        x5.reshape(B, Xs, Ys, Zs * C), (B, 2 * Xs, 2 * Ys, Zs * C),
+        method="linear")
+    f = _pick_f_up(Zs, C, Cout) or 2 * Zs
+    got4 = upzconv3d_leaky_folded(xy, kernel, bias, C, f, 0.2, True)
+    got = got4.reshape(B, 2 * Xs, 2 * Ys, 2 * Zs, Cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_upsample_conv_grads():
+    from muvo_tpu.models.layers import upsample2x_trilinear
+    from muvo_tpu.ops.pallas_zconv import (
+        _pick_f_up,
+        upzconv3d_leaky_folded,
+    )
+
+    rs = np.random.RandomState(5)
+    B, Xs, Ys, Zs, C, Cout = 1, 4, 4, 16, 8, 4
+    x5 = rs.randn(B, Xs, Ys, Zs, C).astype(np.float32)
+    kernel = jnp.asarray(rs.randn(3, 3, 3, C, Cout).astype(np.float32))
+    bias = jnp.asarray(rs.randn(Cout).astype(np.float32))
+    xy = jnp.asarray(  # fixed x/y-upsampled input; grads flow through z-up
+        np.asarray(jax.image.resize(
+            jnp.asarray(x5).reshape(B, Xs, Ys, Zs * C),
+            (B, 2 * Xs, 2 * Ys, Zs * C), method="linear")))
+    f = _pick_f_up(Zs, C, Cout) or 2 * Zs
+
+    def up_z_ref(x4):
+        x5v = x4.reshape(B, 2 * Xs, 2 * Ys, Zs, C)
+        from muvo_tpu.models.layers import _upsample2x_linear_axis
+        return _upsample2x_linear_axis(x5v, 3)
+
+    def loss_fused(x4, k, b):
+        return jnp.sum(jnp.sin(
+            upzconv3d_leaky_folded(x4, k, b, C, f, 0.2, True)))
+
+    def loss_ref(x4, k, b):
+        return jnp.sum(jnp.sin(_reference(up_z_ref(x4), k, b, 0.2)))
+
+    gp = jax.grad(loss_fused, argnums=(0, 1, 2))(xy, kernel, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(xy, kernel, bias)
+    gr = (gr[0].reshape(gp[0].shape), gr[1], gr[2])
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
