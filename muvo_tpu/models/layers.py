@@ -170,14 +170,6 @@ def _upsample2x_linear_axis(x, axis: int):
     return out.reshape(shape)
 
 
-def upsample2x_trilinear_interleave(x):
-    """Same result as upsample2x_trilinear via shifted-sum interleaves,
-    minor axes first."""
-    x = _upsample2x_linear_axis(x, 3)  # z (second-minor)
-    x = _upsample2x_linear_axis(x, 2)  # y
-    return _upsample2x_linear_axis(x, 1)  # x
-
-
 def _linear_up_matrix(n: int) -> jnp.ndarray:
     """(2n, n) half-pixel 2x linear interpolation matrix (edges clamped);
     matches jax.image.resize('linear') / torch align_corners=False."""
