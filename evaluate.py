@@ -2,7 +2,8 @@
 
 Counterpart of the reference's evaluation flow (config/evaluate.yaml:
 LeaderBoard test suites + the muvo agent + leaderboard reward/terminal):
-each invocation handles ONE suite env (index in port_<port>_checkpoint.txt),
+each invocation handles ONE suite env (index in
+port_<port>_eval_checkpoint.txt),
 runs every task (route x weather) once with the MuvoAgent, records the
 leaderboard episode statistics (route completion, infractions, driving
 score), and exits 1 while suites remain — same restart contract as
@@ -100,8 +101,11 @@ def main():
         "hero": {"entry_point": "muvo_tpu.sim.reward:LeaderboardTerminal"}
     }
 
+    # Namespaced per tool: data_collect.py uses port_<port>_checkpoint.txt
+    # in the same work dir, and a stale collection index must not be read
+    # as evaluation progress (or vice versa).
     ckpt_file = os.path.join(args.work_dir,
-                             f"port_{args.port}_checkpoint.txt")
+                             f"port_{args.port}_eval_checkpoint.txt")
     env_idx = 0
     if os.path.isfile(ckpt_file):
         with open(ckpt_file) as f:

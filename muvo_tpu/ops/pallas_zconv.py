@@ -532,17 +532,21 @@ upzconv3d_leaky_folded.defvjp(_up_vjp_fwd, _up_vjp_bwd)
 
 def pallas_upzconv_available(zs: int, c_in: int, cout: int,
                              x_dim: int) -> bool:
-    """Shapes fit the fused upsample+conv kernel and its adjoint."""
+    """Shapes fit the fused upsample+conv kernel and its adjoint.
+
+    (No X-tile condition: _pick_xt always returns a divisor of X, falling
+    back to xt=1, so any X is tileable.)"""
+    del x_dim
     return (2 * zs > 18
             and _pick_f_up(zs, c_in, cout) > 2
-            and _pick_fp_up(zs, c_in, cout) > 0
-            and x_dim % _pick_xt(x_dim) == 0)
+            and _pick_fp_up(zs, c_in, cout) > 0)
 
 
 def pallas_zconv_available(z: int, c_in: int, cout: int, x_dim: int) -> bool:
     """The kernel (and its adjoint for dx) need z divisible into
-    lane-filling blocks with 128-aligned offsets, and an X tile."""
+    lane-filling blocks with 128-aligned offsets. (No X-tile condition:
+    _pick_xt always returns a divisor of X, falling back to xt=1.)"""
+    del x_dim
     return (z > 18
             and _pick_f(z, c_in, cout) > 2
-            and _pick_f(z, cout, c_in) > 2
-            and x_dim % _pick_xt(x_dim) == 0)
+            and _pick_f(z, cout, c_in) > 2)

@@ -67,8 +67,17 @@ class MetricsLogger:
                     frames.transpose(0, 3, 1, 2)[None])  # (1, T, C, H, W)
                 self._tb.add_video(name, vid, step, fps=fps)
                 return
-            except Exception:
-                pass  # moviepy/codec missing: fall through to the strip
+            except Exception as e:
+                # moviepy/codec missing: fall through to the strip, but say so
+                # once — a silently dropped video panel hides real breakage.
+                if not getattr(self, "_video_warned", False):
+                    self._video_warned = True
+                    import warnings
+
+                    warnings.warn(
+                        f"TB add_video failed ({type(e).__name__}: {e}); "
+                        "falling back to film-strip images for all videos "
+                        "this run.")
         strip = np.concatenate(list(frames), axis=1)
         self.log_image(step, f"{name}_strip", strip)
 

@@ -79,7 +79,13 @@ class WorldModelTrainer:
                     return jnp.zeros(s.shape, s.dtype)
                 if leaf == "scale":
                     return jnp.ones(s.shape, s.dtype)
-                r = np.random.RandomState(abs(hash(name)) % (2 ** 31))
+                # zlib.crc32: stable across processes (hash() is
+                # PYTHONHASHSEED-randomised, which would desync replicated
+                # params in a multi-host dryrun).
+                import zlib
+
+                r = np.random.RandomState(
+                    zlib.crc32(name.encode()) % (2 ** 31))
                 return jnp.asarray(
                     0.02 * r.randn(*s.shape), s.dtype)
 
