@@ -54,20 +54,26 @@ class StaticMap:
 
 
 class BirdviewRenderer:
+    """History semantics match the reference (chauffeurnet.py:46-50,215-221):
+    a maxlen-20 queue of per-tick actor snapshots, sampled at the configured
+    ``history_idx`` offsets (default [-16, -11, -6, -1] ≈ 0.5 s spacing at
+    10 Hz), each index clamped to the oldest entry while the queue is
+    filling."""
+
     def __init__(self, static_map: StaticMap, width_px: int = 192,
                  pixels_per_meter: float = 5.0, pixels_ev_to_bottom: int = 40,
-                 history_len: int = 4):
+                 history_idx: Sequence[int] = (-16, -11, -6, -1),
+                 queue_maxlen: int = 20):
         assert cv2 is not None, "birdview rendering requires cv2"
+        from collections import deque
+
         self._map = static_map
         self._width = width_px
         self._ppm = pixels_per_meter
         self._ev_bottom = pixels_ev_to_bottom
-        self._history_len = history_len
-        self._vehicle_history: List[List[ActorBox]] = []
-        self._walker_history: List[List[ActorBox]] = []
-        # (green, yellow, red, stop) box lists per tick
-        self._light_history: List[Tuple[List[ActorBox], List[ActorBox],
-                                        List[ActorBox], List[ActorBox]]] = []
+        self._history_idx = list(history_idx)
+        # per tick: (vehicles, walkers, (green, yellow, red, stop))
+        self._history_queue = deque(maxlen=queue_maxlen)
 
     # ------------------------------------------------------------------
     def _warp_transform(self, ev_x, ev_y, ev_yaw_deg):
@@ -127,12 +133,13 @@ class BirdviewRenderer:
                tl_yellow: Sequence[ActorBox] = (),
                tl_red: Sequence[ActorBox] = (),
                stops: Sequence[ActorBox] = ()) -> Dict[str, np.ndarray]:
-        """Returns {'masks': (15, H, W) uint8, 'rendered': (H, W, 3) uint8}.
+        """Returns {'masks': (3+3*H, H, W) uint8, 'rendered': (H, W, 3)}.
 
         Channel layout matches the reference exactly
         (chauffeurnet.py:188-208): 0 road, 1 route, 2 lane marking (255,
-        white-broken subset re-marked 120), 3..6 vehicle history (newest
-        last), 7..10 walker history, 11..14 traffic-light+stop history
+        white-broken subset re-marked 120), then len(history_idx) vehicle
+        history channels (oldest offset first, newest last), the same for
+        walkers, then traffic-light+stop history
         (green 80 / yellow 170 / red 255 / stop 255).
         """
         M = self._warp_transform(ev_x, ev_y, ev_yaw_deg)
@@ -145,32 +152,25 @@ class BirdviewRenderer:
             lanes[broken > 0] = 120
         route = self._route_mask(route_xy, M)
 
-        self._vehicle_history.append(list(vehicles))
-        self._walker_history.append(list(walkers))
-        self._light_history.append(
-            (list(tl_green), list(tl_yellow), list(tl_red), list(stops)))
-        self._vehicle_history = self._vehicle_history[-self._history_len:]
-        self._walker_history = self._walker_history[-self._history_len:]
-        self._light_history = self._light_history[-self._history_len:]
+        self._history_queue.append(
+            (list(vehicles), list(walkers),
+             (list(tl_green), list(tl_yellow), list(tl_red), list(stops))))
 
-        vehicle_masks = [
-            self._actor_mask(h, M) for h in self._vehicle_history
-        ]
-        walker_masks = [self._actor_mask(h, M) for h in self._walker_history]
-        tl_masks = []
-        for green, yellow, red, stop in self._light_history:
+        # Sample the queue at history_idx, clamping to the oldest entry
+        # while it is still filling (reference chauffeurnet.py:216-221).
+        qsize = len(self._history_queue)
+        vehicle_masks, walker_masks, tl_masks = [], [], []
+        for idx in self._history_idx:
+            idx = max(idx, -qsize)
+            veh, wal, (green, yellow, red, stop) = self._history_queue[idx]
+            vehicle_masks.append(self._actor_mask(veh, M))
+            walker_masks.append(self._actor_mask(wal, M))
             tl = np.zeros_like(road)
             for boxes, value in ((green, 80), (yellow, 170), (red, 255),
                                  (stop, 255)):
                 m = self._actor_mask(boxes, M)
                 tl[m > 0] = value
             tl_masks.append(tl)
-        while len(vehicle_masks) < self._history_len:
-            vehicle_masks.insert(0, np.zeros_like(road))
-        while len(walker_masks) < self._history_len:
-            walker_masks.insert(0, np.zeros_like(road))
-        while len(tl_masks) < self._history_len:
-            tl_masks.insert(0, np.zeros_like(road))
 
         masks = np.stack(
             [road, route, lanes] + vehicle_masks + walker_masks + tl_masks,
@@ -189,9 +189,7 @@ class BirdviewRenderer:
         return {"masks": masks, "rendered": rendered}
 
     def reset(self):
-        self._vehicle_history.clear()
-        self._walker_history.clear()
-        self._light_history.clear()
+        self._history_queue.clear()
 
 
 def load_static_map_h5(path: str) -> StaticMap:

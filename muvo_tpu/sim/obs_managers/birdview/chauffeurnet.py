@@ -35,8 +35,8 @@ class ObsManager(ObsManagerBase):
 
     def _define_obs_space(self):
         # road/route/lane + vehicle, walker and traffic-light+stop history
-        # (reference chauffeurnet.py:205-207)
-        n_channels = 3 + 4 + 4 + 4
+        # (reference chauffeurnet.py:53: 3 + 3*len(history_idx))
+        n_channels = 3 + 3 * len(self._history_idx)
         self.obs_space = gym.spaces.Dict({
             "rendered": gym.spaces.Box(
                 0, 255, (self._width, self._width, 3), np.uint8
@@ -55,6 +55,7 @@ class ObsManager(ObsManagerBase):
         self._renderer = BirdviewRenderer(
             static_map, width_px=self._width, pixels_per_meter=self._ppm,
             pixels_ev_to_bottom=self._ev_bottom,
+            history_idx=self._history_idx,
         )
 
     def _collect_boxes(self, actor_filter, ev_loc):

@@ -45,10 +45,48 @@ def test_render_feeds_collection_pipeline():
     assert route_map.shape == (192, 192)
 
 
-def test_history_accumulates():
-    r = BirdviewRenderer(_static_map(), width_px=64, history_len=3)
-    for i in range(5):
-        out = r.render(40.0 + i, 40.0, 0.0,
-                       [ActorBox(50.0, 40.0, 0.0, 2.0, 1.0)], [],
-                       np.zeros((0, 2)))
-    assert len(r._vehicle_history) == 3
+def test_history_queue_accumulates():
+    r = BirdviewRenderer(_static_map(), width_px=64)
+    for i in range(25):
+        r.render(40.0 + i, 40.0, 0.0,
+                 [ActorBox(50.0, 40.0, 0.0, 2.0, 1.0)], [],
+                 np.zeros((0, 2)))
+    assert len(r._history_queue) == 20  # maxlen-20 deque (reference :50)
+
+
+def test_history_idx_spacing():
+    """History channels sample the queue at history_idx offsets, not the
+    last consecutive ticks (reference chauffeurnet.py:216-221)."""
+    r = BirdviewRenderer(_static_map(), width_px=96,
+                         history_idx=[-16, -11, -6, -1])
+    out = None
+    # vehicle present only on ticks 0..3, then absent for 16 more ticks
+    for i in range(20):
+        veh = [ActorBox(50.0, 40.0, 0.0, 2.0, 1.0)] if i < 4 else []
+        out = r.render(40.0, 40.0, 0.0, veh, [], np.zeros((0, 2)))
+    masks = out["masks"]
+    # queue holds ticks 0..19; idx -16 -> tick 4 (absent), -1 -> tick 19
+    # (absent): every sampled channel is empty even though ticks 0-3 had
+    # the vehicle — consecutive-tick sampling would also be empty here, so
+    # check the converse case too.
+    assert all(masks[3 + k].sum() == 0 for k in range(4))
+    r.reset()
+    # vehicle present ONLY on tick 3; after 19 ticks idx -16 == tick 3
+    for i in range(19):
+        veh = [ActorBox(50.0, 40.0, 0.0, 2.0, 1.0)] if i == 3 else []
+        out = r.render(40.0, 40.0, 0.0, veh, [], np.zeros((0, 2)))
+    masks = out["masks"]
+    assert masks[3].sum() > 0        # oldest channel sees tick 3
+    assert masks[3 + 1].sum() == 0   # -11 -> tick 8: empty
+    assert masks[3 + 3].sum() == 0   # newest -> tick 18: empty
+
+
+def test_history_clamps_while_filling():
+    """While the queue is short every idx clamps to the oldest entry."""
+    r = BirdviewRenderer(_static_map(), width_px=96)
+    out = r.render(40.0, 40.0, 0.0,
+                   [ActorBox(50.0, 40.0, 0.0, 2.0, 1.0)], [],
+                   np.zeros((0, 2)))
+    masks = out["masks"]
+    for k in range(4):  # all four vehicle channels show the single tick
+        assert masks[3 + k].sum() > 0
