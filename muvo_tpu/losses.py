@@ -34,14 +34,21 @@ def _cross_entropy(logits, target, weights: Optional[jnp.ndarray]):
 
 
 def segmentation_loss(prediction, target, use_top_k=False, top_k_ratio=1.0,
-                      weights: Optional[jnp.ndarray] = None):
+                      weights: Optional[jnp.ndarray] = None,
+                      poly_one=False, poly_one_coefficient=0.0):
     """prediction (b, s, h, w, c) logits; target (b, s, h, w) int.
 
-    Optional top-k hard-pixel mining over the flattened spatial dim.
-    (reference: losses.py:9-50; also covers VoxelLoss for (b,s,x,y,z,c))
+    Optional top-k hard-pixel mining over the flattened spatial dim, and
+    the PolyLoss-1 term ``+ eps * (1 - exp(-CE))`` (reference
+    losses.py:39-42 — dead in the reference's shipped configs but part of
+    the loss API). (reference: losses.py:9-50; also covers VoxelLoss for
+    (b,s,x,y,z,c) via losses.py:175-178)
     """
     b, s = prediction.shape[:2]
     loss = _cross_entropy(prediction, target, weights)
+    if poly_one:
+        prob = jnp.exp(-loss)
+        loss = loss + poly_one_coefficient * (1 - prob)
     loss = loss.reshape(b, s, -1)
     if use_top_k:
         k = int(top_k_ratio * loss.shape[2])
@@ -95,9 +102,13 @@ def probabilistic_loss(prior_mu, prior_sigma, posterior_mu, posterior_sigma):
         + (posterior_var + (posterior_mu[:, 1:] - prior_mu[:, 1:]) ** 2)
         / (2 * prior_var)
     )
+    # Reference quirk (losses.py:121): the first-timestep KL-vs-N(0,1) term
+    # indexes into the ALREADY-SHIFTED log-sigma/var tensors, so it uses
+    # sigma from t=1 while mu comes from t=0. Replicated exactly
+    # (tests/test_reference_parity.py::test_kl_loss_matches_reference).
     first_kl = (
-        -jnp.log(posterior_sigma[:, :1]) - 0.5
-        + (posterior_sigma[:, :1] ** 2 + posterior_mu[:, :1] ** 2) / 2
+        -posterior_log_sigma[:, :1] - 0.5
+        + (posterior_var[:, :1] + posterior_mu[:, :1] ** 2) / 2
     )
     kl_div = jnp.concatenate([first_kl, kl_div], axis=1)
     return jnp.mean(jnp.sum(kl_div, axis=-1))

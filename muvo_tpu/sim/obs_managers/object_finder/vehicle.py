@@ -105,13 +105,21 @@ class PedestrianObsManager(ObsManager):
     def _define_obs_space(self):
         super()._define_obs_space()
         n = self._max_detection_number
+        # reference pedestrian.py:45-52: sidewalk flag + waypoint ids
         self.obs_space["on_sidewalk"] = gym.spaces.MultiBinary(n)
+        self.obs_space["road_id"] = gym.spaces.Box(
+            0, 5000, (n, 1), np.int8)
+        self.obs_space["lane_id"] = gym.spaces.Box(
+            -20, 20, (n, 1), np.int8)
 
     def get_observation(self):
         obs = super().get_observation()
         n = self._max_detection_number
-        # sidewalk check requires a map waypoint query per pedestrian
+        # sidewalk/road/lane require a map waypoint query per pedestrian
+        # (reference pedestrian.py:79-89)
         on_sidewalk = np.zeros(n, np.int8)
+        road_id = np.zeros((n, 1), np.int8)
+        lane_id = np.zeros((n, 1), np.int8)
         try:
             import carla
 
@@ -126,13 +134,23 @@ class PedestrianObsManager(ObsManager):
                 lx, ly = obs["location"][i][:2]
                 wx = ev.location.x + c * lx - s * ly
                 wy = ev.location.y + s * lx + c * ly
+                loc = carla.Location(x=float(wx), y=float(wy))
                 wp = carla_map.get_waypoint(
-                    carla.Location(x=float(wx), y=float(wy)),
-                    project_to_road=False,
+                    loc, project_to_road=False,
                     lane_type=carla.LaneType.Driving,
                 )
                 on_sidewalk[i] = 1 if wp is None else 0
+                # nearest driving waypoint, projected (pedestrian.py:87-89);
+                # np.int8 dtype replicated from the reference (ids wrap)
+                wp = carla_map.get_waypoint(loc)
+                if wp is not None:
+                    # astype wraps (numpy-2-safe) like the reference's
+                    # np.array(..., dtype=np.int8) did under numpy 1
+                    road_id[i, 0] = np.asarray(wp.road_id).astype(np.int8)
+                    lane_id[i, 0] = np.asarray(wp.lane_id).astype(np.int8)
         except Exception:
             pass
         obs["on_sidewalk"] = on_sidewalk
+        obs["road_id"] = road_id
+        obs["lane_id"] = lane_id
         return obs

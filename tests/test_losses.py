@@ -32,6 +32,31 @@ def test_cross_entropy_topk_matches_torch():
     np.testing.assert_allclose(float(out), expected, rtol=1e-5)
 
 
+def test_poly_one_matches_torch():
+    """poly_one adds eps*(1-exp(-CE)) on the weighted per-element CE
+    (reference losses.py:39-42)."""
+    b, s, h, w, c = 2, 2, 6, 6, 4
+    logits = rng.randn(b, s, h, w, c).astype(np.float32)
+    target = rng.randint(0, c, (b, s, h, w))
+    weights = np.array([1.0, 2.0, 0.5, 1.5], np.float32)
+    eps = 0.7
+
+    tl = F.cross_entropy(
+        torch.from_numpy(logits).permute(0, 1, 4, 2, 3).reshape(b * s, c, h, w),
+        torch.from_numpy(target).reshape(b * s, h, w),
+        weight=torch.from_numpy(weights), reduction="none",
+    )
+    tl = tl + eps * (1 - torch.exp(-tl))
+    expected = tl.mean().item()
+
+    out = L.segmentation_loss(
+        jnp.asarray(logits), jnp.asarray(target),
+        weights=jnp.asarray(weights), poly_one=True,
+        poly_one_coefficient=eps,
+    )
+    np.testing.assert_allclose(float(out), expected, rtol=1e-5)
+
+
 def test_regression_loss_matches_torch():
     pred = rng.randn(2, 3, 1).astype(np.float32)
     targ = rng.randn(2, 3, 1).astype(np.float32)
@@ -77,8 +102,10 @@ def test_kl_loss_balancing():
             ps[:, 1:].log() - qs[:, 1:].log() - 0.5
             + (posterior_var + (qm[:, 1:] - pm[:, 1:]) ** 2) / (2 * prior_var)
         )
-        first = -qs[:, :1].log() - 0.5 + (posterior_var[:, :1] * 0
-                                          + qs[:, :1] ** 2 + qm[:, :1] ** 2) / 2
+        # reference quirk (losses.py:121): first-step sigma terms index the
+        # shifted tensors, i.e. sigma from t=1, mu from t=0
+        first = (-qs[:, 1:2].log() - 0.5
+                 + (posterior_var[:, :1] + qm[:, :1] ** 2) / 2)
         kl = torch.cat([first, kl], dim=1)
         return kl.sum(-1).mean().item()
 
