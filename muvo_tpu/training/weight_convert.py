@@ -197,6 +197,34 @@ def _feature_compressor(src: str, dst: Tuple[str, ...], state, params, stats):
     _basic_block(f"{src}.1", dst + ("block2",), state, params, stats)
 
 
+def convert_rssm_section(state: Dict[str, np.ndarray], params: Dict,
+                         prefix: str = "rssm"):
+    """Map the reference RSSM's state_dict entries (transition.py:44-72 names,
+    optionally '<prefix>.'-qualified) onto muvo_tpu's RSSM param tree."""
+    _dense(f"{prefix}.pre_gru_net.0", ("rssm", "pre_gru"), state, params)
+    if f"{prefix}.recurrent_model.weight_ih" in state:
+        _set(params, ("rssm", "recurrent_model", "ih", "kernel"),
+             state[f"{prefix}.recurrent_model.weight_ih"].T)
+        _set(params, ("rssm", "recurrent_model", "ih", "bias"),
+             state[f"{prefix}.recurrent_model.bias_ih"])
+        _set(params, ("rssm", "recurrent_model", "hh", "kernel"),
+             state[f"{prefix}.recurrent_model.weight_hh"].T)
+        _set(params, ("rssm", "recurrent_model", "hh", "bias"),
+             state[f"{prefix}.recurrent_model.bias_hh"])
+    _dense(f"{prefix}.posterior_action_module.0",
+           ("rssm", "posterior_action_fc"), state, params)
+    _dense(f"{prefix}.prior_action_module.0", ("rssm", "prior_action_fc"),
+           state, params)
+    _dense(f"{prefix}.posterior.module.0", ("rssm", "posterior_net", "fc1"),
+           state, params)
+    _dense(f"{prefix}.posterior.module.2", ("rssm", "posterior_net", "fc2"),
+           state, params)
+    _dense(f"{prefix}.prior.module.0", ("rssm", "prior_net", "fc1"), state,
+           params)
+    _dense(f"{prefix}.prior.module.2", ("rssm", "prior_net", "fc2"), state,
+           params)
+
+
 def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     """Returns (params, batch_stats) nested dicts in muvo_tpu layout."""
     params: Dict = {}
@@ -254,27 +282,7 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     _dense("features_combine", ("features_combine",), state, params)
     _dense("embedding_combine", ("embedding_combine",), state, params)
 
-    # RSSM
-    _dense("rssm.pre_gru_net.0", ("rssm", "pre_gru"), state, params)
-    if "rssm.recurrent_model.weight_ih" in state:
-        _set(params, ("rssm", "recurrent_model", "ih", "kernel"),
-             state["rssm.recurrent_model.weight_ih"].T)
-        _set(params, ("rssm", "recurrent_model", "ih", "bias"),
-             state["rssm.recurrent_model.bias_ih"])
-        _set(params, ("rssm", "recurrent_model", "hh", "kernel"),
-             state["rssm.recurrent_model.weight_hh"].T)
-        _set(params, ("rssm", "recurrent_model", "hh", "bias"),
-             state["rssm.recurrent_model.bias_hh"])
-    _dense("rssm.posterior_action_module.0", ("rssm", "posterior_action_fc"),
-           state, params)
-    _dense("rssm.prior_action_module.0", ("rssm", "prior_action_fc"), state,
-           params)
-    _dense("rssm.posterior.module.0", ("rssm", "posterior_net", "fc1"), state,
-           params)
-    _dense("rssm.posterior.module.2", ("rssm", "posterior_net", "fc2"), state,
-           params)
-    _dense("rssm.prior.module.0", ("rssm", "prior_net", "fc1"), state, params)
-    _dense("rssm.prior.module.2", ("rssm", "prior_net", "fc2"), state, params)
+    convert_rssm_section(state, params)
 
     for i, idx in enumerate((0, 2, 4, 6)):
         _dense(f"policy.fc.{idx}", ("policy", f"Dense_{i}"), state, params)
