@@ -1,13 +1,22 @@
-"""Pallas TPU flash-attention (non-causal, bidirectional).
+"""Pallas TPU flash-attention (non-causal, bidirectional), fwd + bwd.
 
-Online-softmax tiling over the KV sequence: for each Q block the kernel walks
-KV blocks keeping running max/sum statistics in VMEM scratch, so the (N, N)
-score matrix never touches HBM. Head dim is zero-padded to the 128-lane width
-and ragged sequence lengths are handled with an in-kernel key-validity mask.
+Online-softmax tiling over the KV sequence: for each Q block the forward
+kernel walks KV blocks keeping running max/sum statistics in VMEM scratch,
+so the (N, N) score matrix never touches HBM; it also emits the per-row
+logsumexp. The backward is the standard FlashAttention-2 recompute scheme —
+two kernels sharing the saved (q, k, v, o, lse) residuals:
 
-Forward-only custom kernel with an XLA-recompute VJP: at the fusion
-transformer's sequence lengths (<= ~5.2k tokens, reference mile.py:546-557)
-the backward recompute is cheap and XLA fuses it well.
+  * dQ kernel: for each Q block, walk KV blocks; p = exp(qk^T·scale - lse),
+    dp = dO v^T, ds = p (dp - D) · scale, dq += ds k, with
+    D = rowsum(dO ⊙ O) precomputed in XLA.
+  * dK/dV kernel: for each KV block, walk Q blocks; dv += p^T dO,
+    dk += ds^T q.
+
+All accumulation is fp32 in VMEM; the dense (N, N) score matrix never
+materialises in either direction, so LARGE-mode (5,184 fusion tokens,
+reference mile.py:31-32,546-557) batches are no longer pinned by an S²
+buffer. Head dim is zero-padded to the 128-lane width and ragged sequence
+lengths are handled with an in-kernel key-validity mask.
 """
 
 from __future__ import annotations
@@ -25,8 +34,19 @@ _LANE = 128
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, seq_len, block_k):
+def _interpret():
+    return jax.default_backend() == "cpu"  # CPU tests run interpreted
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                  *, scale, seq_len, block_k):
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -65,15 +85,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse = m_ref[...] + jnp.log(l_ref[...])  # (block_q, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
+    """Returns (out (bh, n, d), lse (bh, n) fp32)."""
     bh, n, d = q.shape  # batch*heads fused into dim 0
     scale = 1.0 / (d ** 0.5)
 
-    d_pad = max(_LANE, ((d + _LANE - 1) // _LANE) * _LANE)
-    nq_pad = ((n + block_q - 1) // block_q) * block_q
-    nk_pad = ((n + block_k - 1) // block_k) * block_k
+    d_pad = max(_LANE, _round_up(d, _LANE))
+    nq_pad = _round_up(n, block_q)
+    nk_pad = _round_up(n, block_k)
 
     def pad(x, n_to):
         return jnp.pad(x, ((0, 0), (0, n_to - n), (0, d_pad - d)))
@@ -81,9 +104,13 @@ def _flash_fwd(q, k, v, block_q, block_k):
     qp, kp, vp = pad(q, nq_pad), pad(k, nk_pad), pad(v, nk_pad)
     grid = (bh, nq_pad // block_q, nk_pad // block_k)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len=n, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, seq_len=n,
+                          block_k=block_k),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, _LANE), jnp.float32),
+        ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -92,7 +119,10 @@ def _flash_fwd(q, k, v, block_q, block_k):
                 pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
                 pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -102,11 +132,174 @@ def _flash_fwd(q, k, v, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
+        interpret=_interpret(),
     )(qp, kp, vp)
-    return out[:, :n, :d]
+    return out[:, :n, :d], lse[:, :n, 0]
 
 
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, acc_ref, *, scale, seq_len, block_k):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]      # (block_q, 1) fp32
+    delta = delta_ref[0][:, :1]  # (block_q, 1) fp32
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # fp32 (block_q, block_k); 0 on masked cols
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale, seq_len,
+                          block_k):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    kv_idx = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (block_q, block_k)
+
+    # dv += p^T dO   (padded q rows contribute 0: their dO rows are 0)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+
+    # dk += ds^T q
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
+    """Flash backward; all inputs (bh, n, d) except lse (bh, n) fp32."""
+    bh, n, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+
+    d_pad = max(_LANE, _round_up(d, _LANE))
+    nq_pad = _round_up(n, block_q)
+    nk_pad = _round_up(n, block_k)
+
+    def pad(x, n_to):
+        return jnp.pad(x, ((0, 0), (0, n_to - n), (0, d_pad - d)))
+
+    qp, dop = pad(q, nq_pad), pad(do, nq_pad)
+    kp, vp = pad(k, nk_pad), pad(v, nk_pad)
+
+    # D = rowsum(dO ⊙ O): tiny elementwise reduce, XLA fuses it with the
+    # surrounding pads; broadcast across the lane dim for aligned DMA.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, nq_pad - n)))
+    delta = jnp.broadcast_to(delta[..., None], (bh, nq_pad, _LANE))
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq_pad - n)))
+    lse_p = jnp.broadcast_to(lse_p[..., None], (bh, nq_pad, _LANE))
+
+    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0))
+    kv_spec_dq = pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0))
+    row_spec = pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=n,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bh, nq_pad // block_q, nk_pad // block_k),
+            in_specs=[q_spec, kv_spec_dq, kv_spec_dq, q_spec, row_spec,
+                      row_spec],
+            out_specs=q_spec,
+            scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse_p, delta)
+
+    # dkv grid: (bh, kv block, q block) — accumulate over q blocks.
+    q_spec2 = pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0))
+    kv_spec2 = pl.BlockSpec((1, block_k, d_pad), lambda b, j, i: (b, j, 0))
+    row_spec2 = pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=n,
+                          block_k=block_k),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d_pad), v.dtype),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bh, nk_pad // block_k, nq_pad // block_q),
+            in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2,
+                      row_spec2],
+            out_specs=[kv_spec2, kv_spec2],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d_pad), jnp.float32),
+                pltpu.VMEM((block_k, d_pad), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse_p, delta)
+
+    return dq[:, :n, :d], dk[:, :n, :d], dv[:, :n, :d]
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
 def _reference_attention(q, k, v):
     d = q.shape[-1]
     s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
@@ -114,36 +307,40 @@ def _reference_attention(q, k, v):
     return jnp.einsum("bqk,bkd->bqd", w, v)
 
 
+def _blocks(n):
+    bq = min(_BLOCK_Q, _round_up(n, 128))
+    bk = min(_BLOCK_K, _round_up(n, 128))
+    return bq, bk
+
+
+def _flatten(x):
+    bh = x.shape[0] * x.shape[1]
+    return x.reshape((bh,) + x.shape[2:])
+
+
 @jax.custom_vjp
 def _flash(q, k, v):
-    bh = q.shape[0] * q.shape[1]
-    qf = q.reshape((bh,) + q.shape[2:])
-    kf = k.reshape((bh,) + k.shape[2:])
-    vf = v.reshape((bh,) + v.shape[2:])
-    n = qf.shape[1]
-    bq = min(_BLOCK_Q, ((n + 127) // 128) * 128)
-    bk = min(_BLOCK_K, ((n + 127) // 128) * 128)
-    return _flash_fwd(qf, kf, vf, bq, bk).reshape(q.shape)
+    n = q.shape[2]
+    bq, bk = _blocks(n)
+    out, _ = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk)
+    return out.reshape(q.shape)
 
 
 def _flash_vjp_fwd(q, k, v):
-    return _flash(q, k, v), (q, k, v)
+    n = q.shape[2]
+    bq, bk = _blocks(n)
+    out, lse = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk)
+    return out.reshape(q.shape), (q, k, v, out.reshape(q.shape), lse)
 
 
 def _flash_vjp_bwd(res, g):
-    q, k, v = res
-
-    def ref(q, k, v):
-        bh = q.shape[0] * q.shape[1]
-        out = _reference_attention(
-            q.reshape((bh,) + q.shape[2:]),
-            k.reshape((bh,) + k.shape[2:]),
-            v.reshape((bh,) + v.shape[2:]),
-        )
-        return out.reshape(q.shape)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    n = q.shape[2]
+    bq, bk = _blocks(n)
+    dq, dk, dv = _flash_bwd(
+        _flatten(q), _flatten(k), _flatten(v), _flatten(o), lse,
+        _flatten(g.astype(q.dtype)), bq, bk)
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

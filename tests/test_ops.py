@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from muvo_tpu.models.frustum import FrustumPooling, gen_dx_bx
 from muvo_tpu.models.pointpillars import PointPillarNet
@@ -144,6 +145,46 @@ def test_flash_attention_matches_reference():
                              v.reshape(b * h, n, d))
     ).reshape(b, h, n, d)
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def _flash_grad_check(b, h, n, d, rtol, atol):
+    from muvo_tpu.ops.flash_attention import (_reference_attention,
+                                              flash_attention)
+
+    q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+
+    _, vjp = jax.vjp(flash_attention, q, k, v)
+    dq, dk, dv = vjp(g)
+
+    def ref(q, k, v):
+        bh = b * h
+        out = _reference_attention(q.reshape(bh, n, d), k.reshape(bh, n, d),
+                                   v.reshape(bh, n, d))
+        return out.reshape(b, h, n, d)
+
+    _, ref_vjp = jax.vjp(ref, q, k, v)
+    rdq, rdk, rdv = ref_vjp(g)
+    for got, want, name in ((dq, rdq, "dq"), (dk, rdk, "dk"), (dv, rdv, "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=rtol, atol=atol, err_msg=name)
+
+
+def test_flash_attention_backward_tiny():
+    # ragged n (not a block multiple) exercises the padding/mask path
+    _flash_grad_check(1, 2, 300, 48, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_backward_block_multiple():
+    _flash_grad_check(1, 1, 512, 64, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_flash_attention_backward_large_tokens():
+    # LARGE fusion-path shape (5,184 tokens, reference mile.py:31-32)
+    _flash_grad_check(1, 1, 5184, 64, rtol=5e-3, atol=5e-3)
 
 
 def test_mha_dispatch():
