@@ -66,7 +66,8 @@ def _flops_of(jitted, *abstract_args) -> float:
         return 0.0
 
 
-def main(n_steps: int = 12, warmup: int = 3, large: bool = False):
+def main(n_steps: int = 12, warmup: int = 3, large: bool = False,
+         batch_override: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -91,6 +92,8 @@ def main(n_steps: int = 12, warmup: int = 3, large: bool = False):
         # attention path. One sequence per chip fits HBM.
         cfg.MODEL.TRANSFORMER.LARGE = True
         cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
+    if batch_override:
+        cfg.BATCHSIZE = batch_override * max(1, len(jax.devices()))
 
     mesh = make_mesh()
     trainer = WorldModelTrainer(cfg, mesh=mesh)
@@ -157,4 +160,8 @@ def main(n_steps: int = 12, warmup: int = 3, large: bool = False):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     steps = int(args[0]) if args else 12
-    main(steps, large="--large" in sys.argv)
+    batch = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    main(steps, large="--large" in sys.argv, batch_override=batch)

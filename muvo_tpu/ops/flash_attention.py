@@ -132,6 +132,12 @@ def _flash_fwd(q, k, v, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq_pad * nk_pad * d_pad,  # qk^T + pv
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
+            + bh * nq_pad * d_pad * qp.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
         interpret=_interpret(),
     )(qp, kp, vp)
     return out[:, :n, :d], lse[:, :n, 0]
@@ -262,6 +268,12 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * nq_pad * nk_pad * d_pad,  # s + dp + ds·k
+            bytes_accessed=(qp.size + kp.size + vp.size + dop.size)
+            * qp.dtype.itemsize + bh * nq_pad * d_pad * qp.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
         interpret=_interpret(),
     )(qp, kp, vp, dop, lse_p, delta)
 
@@ -290,6 +302,13 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * nq_pad * nk_pad * d_pad,  # s + dp + dv + dk
+            bytes_accessed=(qp.size + kp.size + vp.size + dop.size)
+            * qp.dtype.itemsize
+            + 2 * bh * nk_pad * d_pad * qp.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
         ),
         interpret=_interpret(),
     )(qp, kp, vp, dop, lse_p, delta)
