@@ -22,7 +22,7 @@ from muvo_tpu.utils.jax_setup import setup_jax  # noqa: E402
 setup_jax()
 
 
-def run_and_trace(trace_dir: str):
+def run_and_trace(trace_dir: str, large: bool = False, batch: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +40,11 @@ def run_and_trace(trace_dir: str):
     cfg.MODEL.REMAT = True
     cfg.MODEL.REMAT_ENCODER = False  # matches bench.py (38.8 f/s config)
     cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
+    if large:
+        cfg.MODEL.TRANSFORMER.LARGE = True
+        cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
+    if batch:
+        cfg.BATCHSIZE = batch * max(1, len(jax.devices()))
 
     mesh = make_mesh()
     trainer = WorldModelTrainer(cfg, mesh=mesh)
@@ -90,6 +95,11 @@ def summarize(trace_dir: str, top: int = 40):
 
 
 if __name__ == "__main__":
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/muvo_trace"
-    run_and_trace(trace_dir)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    trace_dir = args[0] if args else "/tmp/muvo_trace"
+    batch = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    run_and_trace(trace_dir, large="--large" in sys.argv, batch=batch)
     summarize(trace_dir)
