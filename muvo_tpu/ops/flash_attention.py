@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 256
-_BLOCK_K = 256
+_BLOCK_Q = 512  # 512x512 blocks: larger MXU operands and 4x fewer
+_BLOCK_K = 512  # online-softmax rescales than 256 (measured faster on v5e)
 _LANE = 128
 _NEG_INF = -1e30
 
@@ -133,7 +133,7 @@ def _flash_fwd(q, k, v, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * nq_pad * nk_pad * d_pad,  # qk^T + pv
+            flops=4 * bh * nq_pad * nk_pad * d,  # qk^T + pv (useful, unpadded)
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
             + bh * nq_pad * d_pad * qp.dtype.itemsize,
             transcendentals=bh * nq_pad * nk_pad,
@@ -269,7 +269,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * bh * nq_pad * nk_pad * d_pad,  # s + dp + ds·k
+            flops=6 * bh * nq_pad * nk_pad * d,  # s + dp + ds·k (useful)
             bytes_accessed=(qp.size + kp.size + vp.size + dop.size)
             * qp.dtype.itemsize + bh * nq_pad * d_pad * qp.dtype.itemsize,
             transcendentals=bh * nq_pad * nk_pad,
@@ -304,7 +304,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh * nq_pad * nk_pad * d_pad,  # s + dp + dv + dk
+            flops=8 * bh * nq_pad * nk_pad * d,  # s + dp + dv + dk (useful)
             bytes_accessed=(qp.size + kp.size + vp.size + dop.size)
             * qp.dtype.itemsize
             + 2 * bh * nk_pad * d_pad * qp.dtype.itemsize,
