@@ -67,26 +67,33 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < seq_len, s, _NEG_INF)
 
-    m_prev = m_ref[...]
+    # Stats stay lane-replicated at 128 wide: a (block_q, 1) column lives in
+    # lane 0 only and every consumer op pays a cross-lane broadcast (this is
+    # the layout jax's own TPU flash kernel uses for the same reason).
+    m_prev = m_ref[...]  # (block_q, _LANE)
     l_prev = l_ref[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.broadcast_to(jnp.max(s, axis=-1, keepdims=True),
+                             m_prev.shape)
     m_next = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - jnp.tile(m_next, (1, s.shape[-1] // _LANE)))
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
 
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    d_rep = acc_ref.shape[-1] // _LANE
+    acc_ref[...] = acc_ref[...] * jnp.tile(alpha, (1, d_rep)) + \
+        jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     m_ref[...] = m_next
     l_ref[...] = l_next
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
-        lse = m_ref[...] + jnp.log(l_ref[...])  # (block_q, 1)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        o_ref[0] = (acc_ref[...] / jnp.tile(l_ref[...], (1, d_rep))).astype(
+            o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])  # (block_q, _LANE)
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
@@ -124,8 +131,8 @@ def _flash_fwd(q, k, v, block_q, block_k):
                 pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, _LANE), jnp.float32),
+                pltpu.VMEM((block_q, _LANE), jnp.float32),
                 pltpu.VMEM((block_q, d_pad), jnp.float32),
             ],
         ),
@@ -158,8 +165,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]      # (block_q, 1) fp32
-    delta = delta_ref[0][:, :1]  # (block_q, 1) fp32
+    # lse/delta arrive lane-replicated (block_q, _LANE); tiling them to
+    # block_k keeps the subtraction lane-local (no cross-lane broadcast)
+    rep = block_k // _LANE
+    lse = jnp.tile(lse_ref[0], (1, rep))
+    delta = jnp.tile(delta_ref[0], (1, rep))
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -195,8 +205,9 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    rep = block_k // _LANE
+    lse = jnp.tile(lse_ref[0], (1, rep))
+    delta = jnp.tile(delta_ref[0], (1, rep))
 
     kv_idx = pl.program_id(1)
     s = jax.lax.dot_general(
