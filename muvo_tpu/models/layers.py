@@ -102,6 +102,58 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+class SubPixelConvTranspose2d(nn.Module):
+    """ConvTranspose2d(kernel 6, stride 2, padding 2) lowered as four
+    parity-packed stride-1 3x3 convs (sub-pixel / depth-to-space form).
+
+    Math is exactly ConvTranspose2dTorch's (tested): with lhs dilation the
+    transpose conv reads kernel tap t = 2(i - m) + 3 - r for output parity
+    r, so each parity sees the 3-tap subsampled kernel K[5-r::-2]. Returns
+    the PACKED (B, H, W, 4*features) tensor — parity group pi = ry*2 + rx in
+    the channel dim — so the big elementwise ops that follow (elu + its
+    backward mask) run with full 128-lane channels instead of the 2x-padded
+    C=64 layout of the unpacked (B, 2H, 2W, 64) tensor. Use pixel_shuffle2x
+    to unpack. Parameter name/shape identical to ConvTranspose2dTorch, so
+    weight conversion and checkpoints are unchanged.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (6, 6, c_in, self.features),
+        )
+        # Parity (ry, rx) output rows are a SAME 3x3 correlation of the input
+        # with the subsampled taps kernel[1-ry::2, 1-rx::2] (verified
+        # numerically against lax.conv_transpose in tests).
+        subs = [
+            kernel[1 - ry::2, 1 - rx::2]  # (3, 3, c_in, F)
+            for ry in (0, 1) for rx in (0, 1)
+        ]
+        w3 = jnp.concatenate(subs, axis=-1)  # (3, 3, c_in, 4F)
+        y = jax.lax.conv_general_dilated(
+            x, w3.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + jnp.tile(bias.astype(x.dtype), (4,))
+        return y
+
+
+def pixel_shuffle2x(packed, features: int):
+    """(B, H, W, 4F) parity-packed -> (B, 2H, 2W, F)."""
+    b, h, w, _ = packed.shape
+    y = packed.reshape(b, h, w, 2, 2, features)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # (B, H, ry, W, rx, F)
+    return y.reshape(b, 2 * h, 2 * w, features)
+
+
 def max_pool_torch(x, window: int, stride: Optional[int] = None, padding: int = 0):
     """torch-style max_pool2d on NHWC (floor division output size)."""
     stride = stride or window

@@ -323,8 +323,24 @@ class ConvDecoder(nn.Module):
         x = ConvTranspose2dTorch(n // 4, (6, 6), (2, 2), (2, 2), name="trans_conv2")(x)
         x = nn.elu(x)
         out2 = make_head(self.head, self.out_channels, 2, "head_2")(x)
-        x = ConvTranspose2dTorch(n // 8, (6, 6), (2, 2), (2, 2), name="trans_conv3")(x)
-        x = nn.elu(x)
+        import os
+
+        if os.environ.get("MUVO_SUBPIXEL_DECONV", "auto") != "off":
+            # Final deconv in parity-packed sub-pixel form: the (B,2H,2W,64)
+            # output layout pads C=64 to 128 lanes (2x HBM + MXU waste on
+            # the step's largest tensors); the packed (B,H,W,256) form keeps
+            # lanes full through the conv and the elu fwd/bwd, unpacking
+            # only for the 1x1 head. Exact same math + params
+            # (tests/test_nn_parity.py::test_subpixel_deconv).
+            from muvo_tpu.models.layers import (SubPixelConvTranspose2d,
+                                                pixel_shuffle2x)
+
+            xp = SubPixelConvTranspose2d(n // 8, name="trans_conv3")(x)
+            x = pixel_shuffle2x(nn.elu(xp), n // 8)
+        else:
+            x = ConvTranspose2dTorch(n // 8, (6, 6), (2, 2), (2, 2),
+                                     name="trans_conv3")(x)
+            x = nn.elu(x)
         out1 = make_head(self.head, self.out_channels, 1, "head_1")(x)
         return {**out4, **out2, **out1}
 

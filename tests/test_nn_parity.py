@@ -102,6 +102,28 @@ def test_conv_transpose_matches_torch(k, s, p, op, size):
     np.testing.assert_allclose(out_nchw, expected, rtol=1e-3, atol=1e-4)
 
 
+def test_subpixel_deconv_matches_conv_transpose():
+    """The parity-packed sub-pixel lowering of ConvTranspose2d(6,2,2) is
+    bit-for-math identical to ConvTranspose2dTorch with the same params."""
+    from muvo_tpu.models.layers import (SubPixelConvTranspose2d,
+                                        pixel_shuffle2x)
+
+    cin, cout, b, h, w = 6, 5, 2, 9, 11
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+
+    ref = ConvTranspose2dTorch(cout, (6, 6), (2, 2), (2, 2))
+    params = ref.init(jax.random.PRNGKey(1), x)
+    expected = np.asarray(ref.apply(params, x))
+
+    sub = SubPixelConvTranspose2d(cout)
+    packed = sub.apply(params, x)
+    assert packed.shape == (b, h, w, 4 * cout)
+    out = np.asarray(pixel_shuffle2x(packed, cout))
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
 def test_max_pool_matches_torch():
     x = torch.randn(2, 3, 11, 17)
     for window, stride, pad in [(2, 2, 0), (3, 2, 1), (4, 4, 0)]:
