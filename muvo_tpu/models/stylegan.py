@@ -183,7 +183,22 @@ class _PointwiseConv(nn.Module):
     spatial_rank: int
 
     @nn.compact
-    def __call__(self, x, folded_zc=None):
+    def __call__(self, x, folded_zc=None, parity_groups: int = 0):
+        if parity_groups:
+            # parity-packed input (B, H, W, g*C): same 1x1 weights applied
+            # per group via a block-diagonal matmul (lanes stay full)
+            g = parity_groups
+            c_in = x.shape[-1] // g
+            kshape = (1,) * self.spatial_rank + (c_in, self.features)
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                kshape)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            wk = kernel.reshape(c_in, self.features).astype(x.dtype)
+            bd = (jnp.eye(g, dtype=x.dtype)[:, None, :, None]
+                  * wk[None, :, None, :]).reshape(g * c_in,
+                                                  g * self.features)
+            return x @ bd + jnp.tile(bias.astype(x.dtype), (g,))
         if folded_zc is not None:
             # z-folded input: block-diagonal matmul over the lanes
             Z, C = folded_zc
@@ -212,7 +227,21 @@ class _SingleConvHead(nn.Module):
     key_prefix: str = "rgb"
 
     @nn.compact
-    def __call__(self, x, folded_zc=None) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, folded_zc=None,
+                 packed_subpixel: int = 0) -> Dict[str, jnp.ndarray]:
+        if packed_subpixel:
+            # x is the parity-packed (B, H, W, 4*C) output of
+            # SubPixelConvTranspose2d: apply the same 1x1 weights to each
+            # parity group (block-diagonal matmul, lanes stay full) and
+            # pixel-shuffle only the tiny (…, 4*n_classes) result —
+            # shuffling the full feature tensor cost two ~4 ms layout
+            # copies per step. Params identical to the unpacked head.
+            from muvo_tpu.models.layers import pixel_shuffle2x
+
+            y = _PointwiseConv(self.n_classes, 2, name="head")(
+                x, parity_groups=4)
+            out = pixel_shuffle2x(y, self.n_classes)
+            return {f"{self.key_prefix}_{self.downsample_factor}": out}
         if folded_zc is not None:
             # pointwise conv on the z-folded tensor: one block-diagonal
             # matmul on the lanes, unfolding only the class output (the
@@ -329,19 +358,21 @@ class ConvDecoder(nn.Module):
             # Final deconv in parity-packed sub-pixel form: the (B,2H,2W,64)
             # output layout pads C=64 to 128 lanes (2x HBM + MXU waste on
             # the step's largest tensors); the packed (B,H,W,256) form keeps
-            # lanes full through the conv and the elu fwd/bwd, unpacking
-            # only for the 1x1 head. Exact same math + params
-            # (tests/test_nn_parity.py::test_subpixel_deconv).
-            from muvo_tpu.models.layers import (SubPixelConvTranspose2d,
-                                                pixel_shuffle2x)
+            # lanes full through the conv, the elu fwd/bwd, AND the 1x1
+            # head (block-diagonal) — only the (…, 4*n_classes) head output
+            # is pixel-shuffled. Exact same math + params
+            # (tests/test_nn_parity.py, tests/test_model.py).
+            from muvo_tpu.models.layers import SubPixelConvTranspose2d
 
             xp = SubPixelConvTranspose2d(n // 8, name="trans_conv3")(x)
-            x = pixel_shuffle2x(nn.elu(xp), n // 8)
+            xp = nn.elu(xp)
+            out1 = make_head(self.head, self.out_channels, 1, "head_1")(
+                xp, packed_subpixel=n // 8)
         else:
             x = ConvTranspose2dTorch(n // 8, (6, 6), (2, 2), (2, 2),
                                      name="trans_conv3")(x)
             x = nn.elu(x)
-        out1 = make_head(self.head, self.out_channels, 1, "head_1")(x)
+            out1 = make_head(self.head, self.out_channels, 1, "head_1")(x)
         return {**out4, **out2, **out1}
 
 

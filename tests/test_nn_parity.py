@@ -124,6 +124,29 @@ def test_subpixel_deconv_matches_conv_transpose():
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_conv_decoder_subpixel_exact(monkeypatch):
+    """The packed sub-pixel ConvDecoder (deconv + elu + head all packed)
+    produces identical outputs to the plain ConvTranspose path with the
+    same params."""
+    from muvo_tpu.models.stylegan import ConvDecoder
+
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(2, 24), jnp.float32)
+    dec = ConvDecoder(latent_n_channels=24, out_channels=3,
+                      constant_size=(2, 3), head="rgb", base_channels=32)
+
+    monkeypatch.setenv("MUVO_SUBPIXEL_DECONV", "off")
+    params = dec.init(jax.random.PRNGKey(0), w)
+    ref = dec.apply(params, w)
+
+    monkeypatch.setenv("MUVO_SUBPIXEL_DECONV", "auto")
+    out = dec.apply(params, w)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_max_pool_matches_torch():
     x = torch.randn(2, 3, 11, 17)
     for window, stride, pad in [(2, 2, 0), (3, 2, 1), (4, 4, 0)]:
