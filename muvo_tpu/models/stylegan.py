@@ -40,20 +40,26 @@ class AdaptiveInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, w, folded_zc=None):
+        # Stats are single-pass (sum + sum-of-squares fused into one read;
+        # var = E[x²] − E[x]², clamped at 0 against fp32 cancellation): the
+        # two-pass (x − mean)² form cost an extra full read of the
+        # 1.8 GB conv3-stage activations per AdaIN, fwd and bwd.
         if folded_zc is not None:
             Z, C = folded_zc
             b, X, Y, _ = x.shape
-            x32 = x.astype(jnp.float32)
-            x5 = x32.reshape(b, X, Y, Z, C)  # bitcast view for the stats
-            mean = x5.mean(axis=(1, 2, 3))                    # (B, C)
-            var = jnp.mean((x5 - mean[:, None, None, None, :]) ** 2,
-                           axis=(1, 2, 3))
+            n = X * Y * Z
+            x5 = x.reshape(b, X, Y, Z, C)  # free bitcast view for the stats
+            s1 = jnp.sum(x5.astype(jnp.float32), axis=(1, 2, 3))   # (B, C)
+            s2 = jnp.sum(jnp.square(x5.astype(jnp.float32)),
+                         axis=(1, 2, 3))
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean ** 2, 0.0)
             inv = jax.lax.rsqrt(var + self.epsilon)
             # identical op order to the unfolded path: fp32 normalise, cast,
             # then the style affine in the model dtype
             mean4 = jnp.tile(mean, (1, Z)).reshape(b, 1, 1, Z * C)
             inv4 = jnp.tile(inv, (1, Z)).reshape(b, 1, 1, Z * C)
-            norm = ((x32 - mean4) * inv4).astype(x.dtype)
+            norm = ((x.astype(jnp.float32) - mean4) * inv4).astype(x.dtype)
             style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
             scale, bias = jnp.split(style, 2, axis=-1)
             scale4 = jnp.tile(scale, (1, Z)).reshape(b, 1, 1, Z * C)
@@ -61,13 +67,15 @@ class AdaptiveInstanceNorm(nn.Module):
             return scale4 * norm + bias4
 
         spatial = tuple(range(1, x.ndim - 1))
-        # instance-norm statistics in fp32 for bf16 activations
+        n = 1
+        for d in spatial:
+            n *= x.shape[d]
         x32 = x.astype(jnp.float32)
-        mean = x32.mean(axis=spatial, keepdims=True)
-        x32 = x32 - mean
-        std = jnp.sqrt(jnp.mean(x32 ** 2, axis=spatial, keepdims=True)
-                       + self.epsilon)
-        x = (x32 / std).astype(x.dtype)
+        s1 = jnp.sum(x32, axis=spatial, keepdims=True)
+        s2 = jnp.sum(jnp.square(x32), axis=spatial, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean ** 2, 0.0)
+        x = ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
 
         style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
         style = style.reshape(style.shape[:1] + (1,) * len(spatial) + (-1,))
