@@ -66,7 +66,9 @@ def main():
     for idx, sampler in enumerate(samplers):
         loader = DataLoader(test_ds, cfg.BATCHSIZE, shuffle=False,
                             sampler=sampler)
-        recon, imagine = evaluator.run(state, iter(loader))
+        limit = getattr(cfg, "LIMIT_VAL_BATCHES", 0) or None
+        recon, imagine = evaluator.run(state, iter(loader),
+                                       max_batches=limit)
         results[f"test{idx}"] = recon
         results[f"test{idx}_imagine"] = imagine
         print(f"[test{idx}] recon: {recon}")
