@@ -39,11 +39,51 @@ class AdaptiveInstanceNorm(nn.Module):
     epsilon: float = 1e-8
 
     @nn.compact
-    def __call__(self, x, w, folded_zc=None):
+    def __call__(self, x, w, folded_zc=None, padded_y: int = None):
         # Stats are single-pass (sum + sum-of-squares fused into one read;
         # var = E[x²] − E[x]², clamped at 0 against fp32 cancellation): the
         # two-pass (x − mean)² form cost an extra full read of the
         # 1.8 GB conv3-stage activations per AdaIN, fwd and bwd.
+        if folded_zc is not None and padded_y is not None:
+            # x in the _pad_folded layout (B, X+2, Yp, Zp*C) with a ZERO
+            # halo (padded_y = logical Y). The zero halo contributes
+            # nothing to sums, so the stats are exact over the padded
+            # tensor; the affine applies under an interior mask so the
+            # halo stays zero — the next pre_padded conv (and this op's
+            # own input cotangent) need it.
+            from muvo_tpu.ops.pallas_zconv import Y_FRONT
+
+            Z, C = folded_zc
+            b, Xp2, Yp, ZpC = x.shape
+            X, Y, Zp = Xp2 - 2, padded_y, ZpC // C
+            n = X * Y * Z
+            mrow = (jnp.arange(Xp2) >= 1) & (jnp.arange(Xp2) <= X)
+            mcol = ((jnp.arange(Yp) >= Y_FRONT)
+                    & (jnp.arange(Yp) < Y_FRONT + Y))
+            mlane = (jnp.arange(ZpC) >= C) & (jnp.arange(ZpC) < (Z + 1) * C)
+            mask = (mrow[:, None, None] & mcol[None, :, None]
+                    & mlane[None, None, :])
+            # mask x BEFORE the stats: the value is unchanged (halo is
+            # already zero) but the stats' cotangent paths (d sum/dx = 1
+            # everywhere) must not reach the halo — the upstream conv's
+            # padded_out vjp requires a zero-halo cotangent
+            xm = jnp.where(mask, x, jnp.zeros((), x.dtype))
+            x5 = xm.reshape(b, Xp2, Yp, Zp, C)  # free bitcast view
+            s1 = jnp.sum(x5.astype(jnp.float32), axis=(1, 2, 3))   # (B, C)
+            s2 = jnp.sum(jnp.square(x5.astype(jnp.float32)),
+                         axis=(1, 2, 3))
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean ** 2, 0.0)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            mean4 = jnp.tile(mean, (1, Zp)).reshape(b, 1, 1, ZpC)
+            inv4 = jnp.tile(inv, (1, Zp)).reshape(b, 1, 1, ZpC)
+            norm = ((xm.astype(jnp.float32) - mean4) * inv4).astype(x.dtype)
+            style = nn.Dense(2 * self.out_channels, name="latent_affine")(w)
+            scale, bias = jnp.split(style, 2, axis=-1)
+            scale4 = jnp.tile(scale, (1, Zp)).reshape(b, 1, 1, ZpC)
+            bias4 = jnp.tile(bias, (1, Zp)).reshape(b, 1, 1, ZpC)
+            return jnp.where(mask, scale4 * norm + bias4,
+                             jnp.zeros((), x.dtype))
         if folded_zc is not None:
             Z, C = folded_zc
             b, X, Y, _ = x.shape
@@ -87,21 +127,29 @@ class ConvInstanceNorm(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, w, folded_zc=None, z_upsample: bool = False):
+    def __call__(self, x, w, folded_zc=None, z_upsample: bool = False,
+                 pre_padded: bool = False, padded_out: bool = False,
+                 logical_y: int = None):
         if folded_zc is not None:
             # z-folded voxel path (TPU): Pallas conv with the LeakyReLU
             # fused, AdaIN on the folded view — no 5-D tensor exists.
             # z_upsample fuses the 2x trilinear z-interp into the conv
             # (folded_zc then gives the SMALL z; output z doubles).
+            # pre_padded/padded_out keep the _pad_folded layout flowing
+            # between chained convs (masked AdaIN preserves the zero halo).
             from muvo_tpu.ops.conv3d_zband import Conv3dZBand
 
             Z, C = folded_zc
             x = Conv3dZBand(self.out_channels, fuse_leaky=0.2,
                             name="conv")(x, folded_zc=(Z, C),
-                                         z_upsample=z_upsample)
+                                         z_upsample=z_upsample,
+                                         pre_padded=pre_padded,
+                                         padded_out=padded_out,
+                                         logical_y=logical_y)
             z_out = 2 * Z if z_upsample else Z
             return AdaptiveInstanceNorm(self.out_channels, name="adain")(
-                x, w, folded_zc=(z_out, self.out_channels))
+                x, w, folded_zc=(z_out, self.out_channels),
+                padded_y=(logical_y if padded_out else None))
         if x.ndim == 5 and x.shape[-1] <= 64:
             # small-channel conv3d: z-band lowering keeps the MXU busy
             from muvo_tpu.ops.conv3d_zband import Conv3dZBand
@@ -132,6 +180,17 @@ class DecoderBlock(nn.Module):
             )
             from muvo_tpu.ops.pallas_zconv import pallas_upzconv_available
 
+            import os
+
+            # conv1 emits its output already in the _pad_folded layout,
+            # the masked AdaIN preserves the zero halo, and conv2 consumes
+            # it pre_padded — no XLA pad pass (fwd, remat replay, or bwd)
+            # touches the stage's biggest tensor. Measured SLOWER on the
+            # flagship bench than the logical-layout chain (51.6 vs 52.3
+            # f/s/chip: the pads it removes cost less than the masked
+            # AdaIN + store-relayout overhead it adds), so OFF by default;
+            # MUVO_PADDED_IO=on enables it (identical math, tested).
+            use_p = os.environ.get("MUVO_PADDED_IO", "off") == "on"
             Z, C = folded_zc
             if self.upsample:
                 if pallas_upzconv_available(Z, C, self.out_channels,
@@ -140,19 +199,26 @@ class DecoderBlock(nn.Module):
                     # interp composes into conv1's banded weight (halves
                     # its contraction and the resize traffic)
                     x = upsample2x_xy_folded(x)
+                    Y = x.shape[2]
                     x = ConvInstanceNorm(self.out_channels, name="conv1")(
-                        x, w, folded_zc=(Z, C), z_upsample=True)
+                        x, w, folded_zc=(Z, C), z_upsample=True,
+                        padded_out=use_p, logical_y=Y)
                     Z = 2 * Z
                 else:
                     x = upsample2x_trilinear_folded(x, Z, C)
                     Z = 2 * Z
+                    Y = x.shape[2]
                     x = ConvInstanceNorm(self.out_channels, name="conv1")(
-                        x, w, folded_zc=(Z, C))
+                        x, w, folded_zc=(Z, C),
+                        padded_out=use_p, logical_y=Y)
             else:
+                Y = x.shape[2]
                 x = ConvInstanceNorm(self.out_channels, name="conv1")(
-                    x, w, folded_zc=(Z, C))
+                    x, w, folded_zc=(Z, C),
+                    padded_out=use_p, logical_y=Y)
             x = ConvInstanceNorm(self.out_channels, name="conv2")(
-                x, w, folded_zc=(Z, self.out_channels))
+                x, w, folded_zc=(Z, self.out_channels),
+                pre_padded=use_p, logical_y=Y)
             return x, (Z, self.out_channels)
         if self.upsample:
             x = upsample2x_bilinear(x) if x.ndim == 4 else upsample2x_trilinear(x)

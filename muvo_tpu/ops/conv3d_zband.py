@@ -278,7 +278,9 @@ class Conv3dZBand(nn.Module):
                 and pallas_voxel_path(x_shape, self.features))
 
     @nn.compact
-    def __call__(self, x, folded_zc=None, z_upsample: bool = False):
+    def __call__(self, x, folded_zc=None, z_upsample: bool = False,
+                 pre_padded: bool = False, padded_out: bool = False,
+                 logical_y: int = None):
         if folded_zc is not None and z_upsample:
             # fused trilinear z-upsample + conv: x is x/y-upsampled with
             # SMALL z folded in the lanes; folded_zc = (Zs, C)
@@ -296,11 +298,13 @@ class Conv3dZBand(nn.Module):
             return upzconv3d_leaky_folded(
                 x, kernel.astype(x.dtype), bias, C,
                 _pick_f_up(Zs, C, self.features), self.fuse_leaky,
-                not _on_tpu(),
+                not _on_tpu(), padded_out,
             )
         if folded_zc is not None:
             # z-folded io: x (B, X, Y, Z*C) -> (B, X, Y, Z*Cout); caller
-            # guarantees pallas_voxel_path() held for these shapes
+            # guarantees pallas_voxel_path() held for these shapes.
+            # pre_padded/padded_out thread the _pad_folded layout between
+            # chained convs (see ops/pallas_zconv.py).
             from muvo_tpu.ops.pallas_zconv import (
                 _pick_f, zconv3d_leaky_folded,
             )
@@ -312,10 +316,12 @@ class Conv3dZBand(nn.Module):
             )
             bias = (self.param("bias", nn.initializers.zeros,
                                (self.features,)) if self.use_bias else None)
+            logical_yz = ((logical_y, Z) if (pre_padded or padded_out)
+                          else None)
             return zconv3d_leaky_folded(
                 x, kernel.astype(x.dtype), bias, C,
                 _pick_f(Z, C, self.features), self.fuse_leaky,
-                not _on_tpu(),
+                not _on_tpu(), pre_padded, padded_out, logical_yz,
             )
         c_in = x.shape[-1]
         z = x.shape[-2]

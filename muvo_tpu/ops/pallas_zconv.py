@@ -120,7 +120,14 @@ def up_banded_weight(kernel: jnp.ndarray, Zs: int, f: int, dtype):
 def up_banded_adjoint_weight(kernel: jnp.ndarray, Zs: int, fp: int, dtype):
     """Adjoint per-block weights: (zb', 3, 3, win*Cout, fp*C) mapping a
     window of win = 2*fp + 4 big-z grad slices (front-padded by 2) onto a
-    block of fp small-z inputs; spatial taps flipped, channels swapped."""
+    block of fp small-z inputs; spatial taps flipped, channels swapped.
+
+    The window genuinely needs the z = 2*b*fp - 2 slice: B[2s-2, s, dz=2]
+    = U[2s-1, s] = 0.25 (verified numerically), so a front halo of ONE
+    does NOT suffice — a padded_out cotangent (front=1 layout) must be
+    lane-shifted by Cout before this adjoint (see _up_vjp_bwd). front=2
+    also keeps every block window on a 128-aligned lane offset (slot
+    2*b*fp), which a front=1 start (slot 2*b*fp - 1) would break."""
     import numpy as np
 
     _, _, _, C, Cout = kernel.shape
@@ -142,13 +149,44 @@ def up_banded_adjoint_weight(kernel: jnp.ndarray, Zs: int, fp: int, dtype):
     return W2.reshape(zbp, 3, 3, win * Cout, fp * C).astype(dtype)
 
 
+Y_FRONT = 1  # y-front halo rows of the _pad_folded layout. 8 (a full
+# sublane tile) makes every padded-IO interior STORE tile-aligned, but the
+# measured flagship bench got WORSE (50.3 vs 52.3 f/s): the wider slabs tax
+# every XLA pad and stripe DMA, including the default non-padded path. With
+# 1, padded-IO stores pay a per-block relayout instead (51.6) — both lose
+# to the plain layout, which is why MUVO_PADDED_IO defaults to off.
+
+
+def _padded_dims(Y: int, Z: int, C: int, front: int = 1,
+                 min_tail: int = 1) -> tuple:
+    """(Yp, Zp) of the _pad_folded layout for logical (Y, Z) at C channels."""
+    import math
+
+    Yp = _round_up(Y_FRONT + Y + 1, 8)
+    zstep = 128 // math.gcd(C, 128)
+    Zp = _round_up(Z + front + min_tail, zstep)
+    return Yp, Zp
+
+
 def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
                       slope: Optional[float], out_dtype, interpret: bool,
-                      stride_lanes: Optional[int] = None):
+                      stride_lanes: Optional[int] = None,
+                      padded_out: bool = False):
     """xpad2: (B, X+2, Yp, Zp*C) — Y and Z*C padded so the tiled (sublane,
     lane) dims of every DMA slice are (8, 128)-aligned. Wb: (3, 3, (f+2)C,
     f*Cout) shared, or (zb, 3, 3, win, f*Cout) per-block; bias_row:
-    (1, f*Cout) or None. Returns (B, X, Y, Z*Cout).
+    (1, f*Cout) or None. Returns (B, X, Y, Z*Cout), or — with
+    ``padded_out`` — the same result already in the _pad_folded layout
+    (B, X+2, Yp', Zp'*Cout) with a zeroed halo, so the NEXT banded conv
+    (and this op's own adjoint) can consume it without an XLA pad pass.
+
+    padded_out requires ``Wb`` (not the bias — it is Cout-periodic, so
+    invariant) PRE-ROLLED by +Cout on its last axis: the MXU then emits
+    each block already carrying the layout's +Cout lane offset for free,
+    and a one-select chain stitches each block's first Cout lanes from
+    the previous block's tail. Every store stays tile-aligned (sublane
+    offset Y_FRONT, lane offsets zbi*fco) — Mosaic cannot DMA at
+    unaligned tiled offsets and unaligned VPU stores cost a relayout.
 
     Grid walks (B, X/xt) stripes; each stripe DMAs its full (Yp, Zp*C) slab
     once (next stripe prefetched, double-buffered) and the z-block loop runs
@@ -167,18 +205,22 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
     stride = stride_lanes if stride_lanes is not None else f * C
     Yp = xpad2.shape[2]
     ZpC = xpad2.shape[3]
+    Yp_o, Zp_o = _padded_dims(Y, Z, Cout)
+    y0 = Y_FRONT - 1  # first window row: output row y reads y0 + dy + y
 
     has_bias = bias_row is not None
 
     def kernel(xpad_ref, wb_ref, *rest):
-        if has_bias:
-            bias_ref, out_ref, scratch, sem = rest
-        else:
-            out_ref, scratch, sem = rest
+        rest = list(rest)
+        bias_ref = rest.pop(0) if has_bias else None
+        out_ref = rest.pop(0)
+        scratch, sem = rest.pop(0), rest.pop(0)
+        if padded_out:
+            sout, zrow, osem, zsem = rest
         i = pl.program_id(0)
 
         def dma(step, slot):
-            xi = jax.lax.rem(step, nX)
+            xi = jax.lax.rem(step, jnp.asarray(nX, step.dtype))
             b = step // nX
             return pltpu.make_async_copy(
                 xpad_ref.at[b, pl.ds(xi * xt, xt + 2), :, :],
@@ -186,11 +228,36 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
                 sem.at[slot],
             )
 
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
         @pl.when(i == 0)
         def _():
             dma(i, slot).start()
+
+        if padded_out:
+            ZpCo = sout.shape[-1]
+
+            def out_dma(step, oslot):
+                xi_ = jax.lax.rem(step, jnp.asarray(nX, step.dtype))
+                b_ = step // nX
+                return pltpu.make_async_copy(
+                    sout.at[oslot],
+                    out_ref.at[b_, pl.ds(1 + xi_ * xt, xt)],
+                    osem.at[oslot])
+
+            @pl.when(i == 0)
+            def _():
+                # row margins (< Y_FRONT, > Y_FRONT+Y) are never stored to
+                # and stay zero; the lane margin beyond the tail block is
+                # likewise store-free
+                sout[...] = jnp.zeros_like(sout)
+                zrow[...] = jnp.zeros_like(zrow)
+
+            # the slot's copy from two steps ago had a full stripe of
+            # compute to drain; only now is the slab rewritten
+            @pl.when(i >= 2)
+            def _():
+                out_dma(i - 2, slot).wait()
 
         @pl.when(i + 1 < N)
         def _():
@@ -199,12 +266,16 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
         dma(i, slot).wait()
         tile = scratch[slot]  # (xt+2, Yp, Zp*C)
 
+        prev = None
+        if padded_out:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (xt, Y, fco), 2)
         for zbi in range(zb):
             off = zbi * stride  # multiple of 128 by construction
             acc = jnp.zeros((xt * Y, fco), jnp.float32)
             for dx in range(3):
                 for dy in range(3):
-                    win = tile[dx:dx + xt, dy:dy + Y, off:off + fc_in]
+                    win = tile[dx:dx + xt, y0 + dy:y0 + dy + Y,
+                               off:off + fc_in]
                     w = wb_ref[zbi, dx, dy] if per_block else wb_ref[dx, dy]
                     acc = acc + jnp.dot(
                         win.reshape(xt * Y, fc_in), w,
@@ -213,11 +284,57 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
                 acc = acc + bias_ref[:].astype(jnp.float32)
             if slope is not None:
                 acc = jnp.where(acc >= 0, acc, slope * acc)
-            out_ref[0, :, :, zbi * fco:(zbi + 1) * fco] = (
-                acc.reshape(xt, Y, fco).astype(out_dtype))
+            res = acc.reshape(xt, Y, fco).astype(out_dtype)
+            if padded_out:
+                # res is ROLLED: lane k holds output k-Cout; its first Cout
+                # lanes (the block's own tail) belong one block later, and
+                # the first Cout lanes HERE come from the previous block's
+                # tail (zeros for block 0 — the z front halo)
+                first = jnp.zeros_like(res) if prev is None else prev
+                sout[slot, :, Y_FRONT:Y_FRONT + Y,
+                     zbi * fco:(zbi + 1) * fco] = jnp.where(
+                         lane < Cout, first, res)
+                prev = res
+            else:
+                out_ref[0, :, :, zbi * fco:(zbi + 1) * fco] = res
+
+        if padded_out:
+            # tail block: the last block's carried tail, then zeros
+            wt = min(fco, ZpCo - zb * fco)
+            sout[slot, :, Y_FRONT:Y_FRONT + Y,
+                 zb * fco:zb * fco + wt] = jnp.where(
+                     lane[:, :, :wt] < Cout, prev[:, :, :wt],
+                     jnp.zeros((), out_dtype))
+
+            xi = jax.lax.rem(i, jnp.asarray(nX, i.dtype))
+            b = i // nX
+            out_dma(i, slot).start()
+
+            @pl.when(xi == 0)
+            def _():
+                zc = pltpu.make_async_copy(
+                    zrow, out_ref.at[b, pl.ds(0, 1)], zsem)
+                zc.start()
+                zc.wait()
+
+            @pl.when(xi == nX - 1)
+            def _():
+                zc = pltpu.make_async_copy(
+                    zrow, out_ref.at[b, pl.ds(X + 1, 1)], zsem)
+                zc.start()
+                zc.wait()
+
+            # drain every outstanding copy before the kernel retires
+            @pl.when(i == N - 1)
+            def _():
+                out_dma(i, slot).wait()
+
+                @pl.when(jnp.asarray(N > 1) & (i >= 1))
+                def _():
+                    out_dma(i - 1, 1 - slot).wait()
 
     def out_index(i):
-        return (i // nX, jax.lax.rem(i, nX), 0, 0)
+        return (i // nX, jax.lax.rem(i, jnp.asarray(nX, i.dtype)), 0, 0)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -228,32 +345,48 @@ def _zconv_pallas_raw(xpad2, Wb, bias_row, *, B, X, Y, Z, f, C, Cout, xt,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(bias_row)
 
+    scratch_shapes = [
+        pltpu.VMEM((2, xt + 2, Yp, ZpC), xpad2.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if padded_out:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct(
+            (B, X + 2, Yp_o, Zp_o * Cout), out_dtype)
+        out_bytes = out_shape.size * 2
+        scratch_shapes += [
+            pltpu.VMEM((2, xt, Yp_o, Zp_o * Cout), out_dtype),
+            pltpu.VMEM((1, Yp_o, Zp_o * Cout), out_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        out_specs = pl.BlockSpec((1, xt, Y, Z * Cout), out_index,
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, X, Y, Z * Cout), out_dtype)
+        out_bytes = B * X * Y * Z * Cout * 2
+
     return pl.pallas_call(
         kernel,
         grid=(N,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, xt, Y, Z * Cout), out_index,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z * Cout), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, xt + 2, Yp, ZpC), xpad2.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * zb * X * Y * 9 * fc_in * fco,
-            bytes_accessed=xpad2.size * xpad2.dtype.itemsize
-            + B * X * Y * Z * Cout * 2,
+            bytes_accessed=xpad2.size * xpad2.dtype.itemsize + out_bytes,
             transcendentals=0,
         ),
     )(*operands)
 
 
 def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
-               interpret):
+               interpret, g_padded: bool = False, g_cout: int = 0):
     """Banded weight gradient in one pass: dW[(zbi,)dxi,dyi] = win^T @ g.
 
     Replaces the dynamic_slice+einsum loop, which materialised a full
@@ -263,12 +396,21 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
     forward kernel) and all zb*9 tap gradients accumulate in a VMEM
     scratch-resident output block.
 
-    xpad2: (B, X+2, Yp, ZpC); g: (B, X, Y, zb*fco).
+    xpad2: (B, X+2, Yp, ZpC); g: (B, X, Y, zb*fco) — or, with ``g_padded``,
+    the cotangent already in the _pad_folded layout (zero halo, interior at
+    (+Y_FRONT row, +g_cout lanes)). The padded g is read via ALIGNED
+    fco-blocks: block zbi's true cotangent is its aligned block rolled by
+    -g_cout with the wrapped tail taken from block zbi+1's head, so the
+    kernel contracts against the select of two aligned reads (no roll, no
+    misaligned access) and the resulting dW comes out with its last axis
+    rolled by +g_cout — un-rolled here on the tiny output after the call.
     Returns f32 (zb, 3, 3, fc_in, fco) when per_block else (3, 3, fc_in, fco).
     """
     Yp, ZpC = xpad2.shape[2], xpad2.shape[3]
-    ZCo = g.shape[3]
+    ZCo = zb * fco
+    g_lanes = g.shape[3]
     itemsize = jnp.dtype(xpad2.dtype).itemsize
+    y0 = Y_FRONT - 1
     out_shape = ((zb, 3, 3, fc_in, fco) if per_block
                  else (3, 3, fc_in, fco))
     dw_bytes = 4 * zb * 9 * fc_in * fco if per_block else 4 * 9 * fc_in * fco
@@ -279,7 +421,7 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
         if X % cand != 0:
             continue
         foot = (2 * (cand + 2) * Yp * ZpC * itemsize
-                + 2 * cand * Y * ZCo * itemsize + dw_bytes
+                + 2 * cand * g.shape[2] * g_lanes * itemsize + dw_bytes
                 + cand * Y * max(fc_in, fco) * 4)
         if foot <= budget:
             xt = cand
@@ -291,20 +433,21 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
         i = pl.program_id(0)
 
         def dma_x(step, slot):
-            xi = jax.lax.rem(step, nX)
+            xi = jax.lax.rem(step, jnp.asarray(nX, step.dtype))
             b = step // nX
             return pltpu.make_async_copy(
                 x_ref.at[b, pl.ds(xi * xt, xt + 2), :, :],
                 xs.at[slot], xsem.at[slot])
 
         def dma_g(step, slot):
-            xi = jax.lax.rem(step, nX)
+            xi = jax.lax.rem(step, jnp.asarray(nX, step.dtype))
             b = step // nX
+            row0 = xi * xt + (1 if g_padded else 0)
             return pltpu.make_async_copy(
-                g_ref.at[b, pl.ds(xi * xt, xt), :, :],
+                g_ref.at[b, pl.ds(row0, xt), :, :],
                 gs.at[slot], gsem.at[slot])
 
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
         @pl.when(i == 0)
         def _():
@@ -320,14 +463,34 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
         dma_x(i, slot).wait()
         dma_g(i, slot).wait()
         x_t = xs[slot]   # (xt+2, Yp, ZpC)
-        g_t = gs[slot]   # (xt, Y, zb*fco)
+        g_t = gs[slot]   # (xt, Y, zb*fco) or the padded slab rows
+
+        if g_padded:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (xt, Y, fco), 2)
+
+        def g_block(zbi):
+            if not g_padded:
+                return g_t[:, :, zbi * fco:(zbi + 1) * fco]
+            cur = g_t[:, Y_FRONT:Y_FRONT + Y, zbi * fco:(zbi + 1) * fco]
+            if zbi + 1 < zb:
+                nxt = g_t[:, Y_FRONT:Y_FRONT + Y,
+                          (zbi + 1) * fco:(zbi + 2) * fco]
+            else:
+                # the last block's wrapped head lives in the layout's tail
+                # block (its first g_cout lanes); only lane < g_cout is
+                # selected, so pad the partial read out to fco with zeros
+                wt = min(fco, g_lanes - zb * fco)
+                part = g_t[:, Y_FRONT:Y_FRONT + Y,
+                           zb * fco:zb * fco + wt]
+                nxt = jnp.pad(part, ((0, 0), (0, 0), (0, fco - wt)))
+            return jnp.where(lane < g_cout, nxt, cur)
 
         for zbi in range(zb):
             off = zbi * stride  # 128-multiple by construction
-            go = g_t[:, :, zbi * fco:(zbi + 1) * fco].reshape(xt * Y, fco)
+            go = g_block(zbi).reshape(xt * Y, fco)
             for dxi in range(3):
                 for dyi in range(3):
-                    win = x_t[dxi:dxi + xt, dyi:dyi + Y,
+                    win = x_t[dxi:dxi + xt, y0 + dyi:y0 + dyi + Y,
                               off:off + fc_in].reshape(xt * Y, fc_in)
                     acc = jax.lax.dot_general(
                         win, go, (((0,), (0,)), ((), ())),
@@ -339,7 +502,7 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
 
     out_index = ((lambda i: (0, 0, 0, 0, 0)) if per_block
                  else (lambda i: (0, 0, 0, 0)))
-    return pl.pallas_call(
+    dW = pl.pallas_call(
         kernel,
         grid=(N,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -349,7 +512,7 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, xt + 2, Yp, ZpC), xpad2.dtype),
-            pltpu.VMEM((2, xt, Y, ZCo), g.dtype),
+            pltpu.VMEM((2, xt, g.shape[2], g_lanes), g.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -364,10 +527,16 @@ def _dw_pallas(xpad2, g, *, B, X, Y, fc_in, fco, zb, stride, per_block,
             transcendentals=0,
         ),
     )(xpad2, g)
+    if g_padded:
+        # the select-of-aligned-blocks contraction produced dW against the
+        # +g_cout-rolled cotangent basis; un-roll on the tiny weight grad
+        dW = jnp.roll(dW, -g_cout, axis=-1)
+    return dW
 
 
 def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
-             cout: int = 0, itemsize: int = 2) -> int:
+             cout: int = 0, itemsize: int = 2,
+             padded_out: bool = False) -> int:
     """Largest X tile whose VMEM footprint (double-buffered input stripes +
     pipelined output blocks + accumulator) stays within the raised Mosaic
     scoped-vmem budget."""
@@ -378,7 +547,11 @@ def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
         if not Yp:
             return xt
         scratch = 2 * (xt + 2) * Yp * ZpC * itemsize
-        out = 2 * xt * Y * Z * cout * itemsize
+        if padded_out:
+            Yp_o, Zp_o = _padded_dims(Y, Z, cout)
+            out = (2 * xt + 1) * Yp_o * Zp_o * cout * itemsize
+        else:
+            out = 2 * xt * Y * Z * cout * itemsize
         acc = xt * Y * 128 * 4 * 2
         if scratch + out + acc <= budget:
             return xt
@@ -386,39 +559,56 @@ def _pick_xt(X: int, Yp: int = 0, ZpC: int = 0, Y: int = 0, Z: int = 0,
 
 
 def _pad_folded(x4, C: int, front: int = 1, min_tail: int = 1):
-    """4-D pad for the kernel: +1 x/y ring, a z-halo of ``front`` zero
-    slices in front, and tail zeros to align the tiled (sublane, lane)
-    dims to (8, 128). Everything stays in the folded row-major domain — a
-    5-D pad here drew a 5.3x-padded layout from XLA (measured 10.7 GB on
-    the flagship step)."""
+    """4-D pad for the kernel: +1 x ring, a Y_FRONT/+1 y ring, a z-halo of
+    ``front`` zero slices in front, and tail zeros to align the tiled
+    (sublane, lane) dims to (8, 128). Everything stays in the folded
+    row-major domain — a 5-D pad here drew a 5.3x-padded layout from XLA
+    (measured 10.7 GB on the flagship step)."""
     import math
 
     B, X, Y, ZC = x4.shape
     Z = ZC // C
-    Yp = _round_up(Y + 2, 8)
+    Yp = _round_up(Y_FRONT + Y + 1, 8)
     zstep = 128 // math.gcd(C, 128)
     Zp = _round_up(Z + front + min_tail, zstep)
-    xpad = jnp.pad(x4, ((0, 0), (1, 1), (1, Yp - Y - 1),
+    xpad = jnp.pad(x4, ((0, 0), (1, 1), (Y_FRONT, Yp - Y - Y_FRONT),
                         (front * C, (Zp - Z - front) * C)))
     return xpad, Yp, Zp
 
 
 def _fwd_folded(x4, kernel, bias, C: int, f: int, slope: Optional[float],
-                interpret: bool):
-    """x4: (B, X, Y, Z*C) folded; returns (B, X, Y, Z*Cout) folded."""
-    B, X, Y, ZC = x4.shape
-    Z = ZC // C
-    Cout = kernel.shape[-1]
+                interpret: bool, pre_padded: bool = False,
+                padded_out: bool = False, logical_yz=None):
+    """x4: (B, X, Y, Z*C) folded — or, with ``pre_padded``, already in the
+    _pad_folded layout (B, X+2, Yp, Zp*C) with ``logical_yz=(Y, Z)``.
+    Returns (B, X, Y, Z*Cout) folded (padded layout when ``padded_out``)."""
     dtype = x4.dtype
-    xpad2, Yp, Zp = _pad_folded(x4, C)
+    if pre_padded:
+        Y, Z = logical_yz
+        B, X = x4.shape[0], x4.shape[1] - 2
+        xpad2 = x4
+        Yp, ZpC = x4.shape[2], x4.shape[3]
+    else:
+        B, X, Y, ZC = x4.shape
+        Z = ZC // C
+        xpad2, Yp, Zp = _pad_folded(x4, C)
+        ZpC = Zp * C
+    Cout = kernel.shape[-1]
     Wb = banded_weight(kernel, f, dtype)
+    if padded_out:
+        # pre-roll so the MXU emits each block at the layout's +Cout lane
+        # offset (see _zconv_pallas_raw); the bias row is Cout-periodic
+        # and needs no roll
+        Wb = jnp.roll(Wb, Cout, axis=-1)
     bias_row = None
     if bias is not None:
         bias_row = jnp.tile(bias.astype(dtype), (f,)).reshape(1, f * Cout)
-    xt = _pick_xt(X, Yp, Zp * C, Y, Z, Cout, jnp.dtype(dtype).itemsize)
+    xt = _pick_xt(X, Yp, ZpC, Y, Z, Cout, jnp.dtype(dtype).itemsize,
+                  padded_out=padded_out)
     return _zconv_pallas_raw(
         xpad2, Wb, bias_row, B=B, X=X, Y=Y, Z=Z, f=f, C=C, Cout=Cout,
         xt=xt, slope=slope, out_dtype=dtype, interpret=interpret,
+        padded_out=padded_out,
     )
 
 
@@ -435,30 +625,50 @@ def _pick_f(z: int, c_in: int, cout: int) -> int:
     return 0
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def zconv3d_leaky_folded(x4, kernel, bias, C: int, f: int,
-                         slope: Optional[float], interpret: bool):
+                         slope: Optional[float], interpret: bool,
+                         pre_padded: bool = False, padded_out: bool = False,
+                         logical_yz=None):
     """LeakyReLU(conv3d_same + bias) on z-folded tensors, via the Pallas
     z-fold kernel. x4: (B, X, Y, Z*C); kernel: (3, 3, 3, C, Cout); returns
     (B, X, Y, Z*Cout). Grad flows to x4, kernel, bias — all gradient
     tensors also stay folded (5-D shapes at this boundary cost multi-GB
-    padded layout copies)."""
-    return _fwd_folded(x4, kernel, bias, C, f, slope, interpret)
+    padded layout copies).
+
+    ``pre_padded``: x4 is already in the _pad_folded layout (halo must be
+    zero); ``logical_yz=(Y, Z)`` then supplies the logical dims.
+    ``padded_out``: emit the result in the _pad_folded layout (zero halo) so
+    the next banded conv consumes it directly. The vjp mirrors the flags:
+    with padded_out the incoming cotangent must carry a ZERO halo (a masked
+    AdaIN between convs guarantees this), and with pre_padded the returned
+    dx is itself in the padded layout with a zero halo."""
+    return _fwd_folded(x4, kernel, bias, C, f, slope, interpret,
+                       pre_padded, padded_out, logical_yz)
 
 
-def _vjp_fwd(x4, kernel, bias, C, f, slope, interpret):
-    out = _fwd_folded(x4, kernel, bias, C, f, slope, interpret)
+def _vjp_fwd(x4, kernel, bias, C, f, slope, interpret, pre_padded,
+             padded_out, logical_yz):
+    out = _fwd_folded(x4, kernel, bias, C, f, slope, interpret,
+                      pre_padded, padded_out, logical_yz)
     return out, (x4, kernel, out, bias is not None)
 
 
-def _vjp_bwd(C, f, slope, interpret, res, dout):
+def _vjp_bwd(C, f, slope, interpret, pre_padded, padded_out, logical_yz,
+             res, dout):
     x4, kernel, out, had_bias = res
-    B, X, Y, ZC = x4.shape
-    Z = ZC // C
+    if pre_padded:
+        Y, Z = logical_yz
+        B, X = x4.shape[0], x4.shape[1] - 2
+    else:
+        B, X, Y, ZC = x4.shape
+        Z = ZC // C
     Cout = kernel.shape[-1]
 
     if slope is not None:
         # d LeakyReLU: the pre-activation sign equals the output sign
+        # (in padded layouts the halo is 0 >= 0 and dout's halo is zero,
+        # so the halo stays zero)
         g = jnp.where(out >= 0, dout, jnp.asarray(slope, dout.dtype) * dout)
     else:
         g = dout
@@ -468,27 +678,35 @@ def _vjp_bwd(C, f, slope, interpret, res, dout):
         # reshaped (a (-1, Cout) view of the full tensor would cost a
         # 16x-padded 13.5 GB layout copy)
         lane_sums = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        if padded_out:  # padded g: zero halo contributes nothing to the sums
+            lane_sums = lane_sums[Cout:(Z + 1) * Cout]
         dbias = lane_sums.reshape(Z, Cout).sum(axis=0).astype(kernel.dtype)
     else:
         dbias = None
 
-    # dx: adjoint conv = same banded kernel, spatially flipped, C<->Cout
+    # dx: adjoint conv = same banded kernel, spatially flipped, C<->Cout.
+    # A padded cotangent (padded_out) is exactly the adjoint's _pad_folded
+    # input, and a padded input (pre_padded) wants a padded dx — the flags
+    # swap roles.
     kernel_adj = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     # full-z fold (zb=1, offset 0) is always alignment-safe as a fallback
     f_dx = _pick_f(Z, Cout, C) or Z
-    dx = _fwd_folded(g, kernel_adj, None, Cout, f_dx, None, interpret)
+    dx = _fwd_folded(g, kernel_adj, None, Cout, f_dx, None, interpret,
+                     pre_padded=padded_out, padded_out=pre_padded,
+                     logical_yz=(Y, Z))
 
     # dW: banded weight gradient via the one-pass Pallas kernel (shared
     # weights: z-blocks accumulate into one (3, 3, fc_in, fco)), pulled
     # back through banded_weight's own vjp. ~(f+2)/3x more FLOPs than a
     # reduction conv on 5-D operands, but those operands would materialise
     # in 5.3x-padded layouts.
-    xpad2, _, _ = _pad_folded(x4, C)
+    xpad2 = x4 if pre_padded else _pad_folded(x4, C)[0]
     zb = Z // f
     fco = f * Cout
     fc_in = (f + 2) * C
     dWb = _dw_pallas(xpad2, g, B=B, X=X, Y=Y, fc_in=fc_in, fco=fco, zb=zb,
-                     stride=f * C, per_block=False, interpret=interpret)
+                     stride=f * C, per_block=False, interpret=interpret,
+                     g_padded=padded_out, g_cout=Cout)
     _, band_vjp = jax.vjp(
         lambda k: banded_weight(k, f, jnp.float32), kernel.astype(jnp.float32)
     )
@@ -543,9 +761,10 @@ def _pick_fp_up(zs: int, c_in: int, cout: int) -> int:
 
 
 def _fwd_up_folded(x4, kernel, bias, C: int, f: int, slope: Optional[float],
-                   interpret: bool):
+                   interpret: bool, padded_out: bool = False):
     """x4: (B, X, Y, Zs*C) with X, Y already 2x-upsampled; returns
-    (B, X, Y, 2*Zs*Cout) — trilinear z-upsample + conv + bias + leaky."""
+    (B, X, Y, 2*Zs*Cout) — trilinear z-upsample + conv + bias + leaky.
+    ``padded_out``: emit the result in the _pad_folded layout (zero halo)."""
     B, X, Y, ZsC = x4.shape
     Zs = ZsC // C
     Z = 2 * Zs
@@ -553,31 +772,42 @@ def _fwd_up_folded(x4, kernel, bias, C: int, f: int, slope: Optional[float],
     dtype = x4.dtype
     xpad2, Yp, Zp = _pad_folded(x4, C)
     W2 = up_banded_weight(kernel, Zs, f, dtype)
+    if padded_out:
+        # pre-roll each block's output lanes by +Cout (see _zconv_pallas_raw)
+        W2 = jnp.roll(W2, Cout, axis=-1)
     bias_row = None
     if bias is not None:
         bias_row = jnp.tile(bias.astype(dtype), (f,)).reshape(1, f * Cout)
-    xt = _pick_xt(X, Yp, Zp * C, Y, Z, Cout, jnp.dtype(dtype).itemsize)
+    xt = _pick_xt(X, Yp, Zp * C, Y, Z, Cout, jnp.dtype(dtype).itemsize,
+                  padded_out=padded_out)
     return _zconv_pallas_raw(
         xpad2, W2, bias_row, B=B, X=X, Y=Y, Z=Z, f=f, C=C, Cout=Cout,
         xt=xt, slope=slope, out_dtype=dtype, interpret=interpret,
-        stride_lanes=(f // 2) * C,
+        stride_lanes=(f // 2) * C, padded_out=padded_out,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def upzconv3d_leaky_folded(x4, kernel, bias, C: int, f: int,
-                           slope: Optional[float], interpret: bool):
+                           slope: Optional[float], interpret: bool,
+                           padded_out: bool = False):
     """LeakyReLU(conv3d_same(trilinear_up_z(x)) + bias), fused. x4 must be
-    x/y-upsampled, z-folded (B, X, Y, Zs*C); output (B, X, Y, 2*Zs*Cout)."""
-    return _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret)
+    x/y-upsampled, z-folded (B, X, Y, Zs*C); output (B, X, Y, 2*Zs*Cout).
+
+    ``padded_out`` emits the output in the _pad_folded layout (zero halo),
+    ready for a pre_padded zconv3d_leaky_folded to consume; the incoming
+    cotangent must then carry a ZERO halo (masked AdaIN guarantees it)."""
+    return _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret,
+                          padded_out)
 
 
-def _up_vjp_fwd(x4, kernel, bias, C, f, slope, interpret):
-    out = _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret)
+def _up_vjp_fwd(x4, kernel, bias, C, f, slope, interpret, padded_out):
+    out = _fwd_up_folded(x4, kernel, bias, C, f, slope, interpret,
+                         padded_out)
     return out, (x4, kernel, out, bias is not None)
 
 
-def _up_vjp_bwd(C, f, slope, interpret, res, dout):
+def _up_vjp_bwd(C, f, slope, interpret, padded_out, res, dout):
     x4, kernel, out, had_bias = res
     B, X, Y, ZsC = x4.shape
     Zs = ZsC // C
@@ -586,20 +816,40 @@ def _up_vjp_bwd(C, f, slope, interpret, res, dout):
     dtype = x4.dtype
 
     if slope is not None:
+        # halo (padded_out): out = 0 >= 0 picks dout's zero halo — stays 0
         g = jnp.where(out >= 0, dout, jnp.asarray(slope, dout.dtype) * dout)
     else:
         g = dout
 
     if had_bias:
         lane_sums = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        if padded_out:  # padded g: zero halo contributes nothing
+            lane_sums = lane_sums[Cout:(Z + 1) * Cout]
         dbias = lane_sums.reshape(Z, Cout).sum(axis=0).astype(kernel.dtype)
     else:
         dbias = None
 
-    # dx: adjoint of (upsample_z ∘ conv): per-block banded over big-z grads
+    # dx: adjoint of (upsample_z ∘ conv): per-block banded over big-z grads.
+    # The adjoint window is front-padded by TWO big-z slices (its z = -2
+    # tap is genuinely nonzero, and front=2 keeps the per-block window
+    # reads 128-lane-aligned); a padded g (front halo of one) lane-shifts
+    # by Cout in one fused pad+slice — the only full-tensor copy left on
+    # this path (a DMA-side or read-side shift would land on unaligned
+    # tiled offsets, which Mosaic rejects / the VPU pays relayouts for).
     fp = _pick_fp_up(Zs, C, Cout) or Zs
     Wadj = up_banded_adjoint_weight(kernel, Zs, fp, dtype)
-    gpad2, Yp, _ = _pad_folded(g, Cout, front=2, min_tail=2)
+    if padded_out:
+        import math
+
+        Yp = g.shape[2]
+        Zp1 = g.shape[3] // Cout
+        zstep = 128 // math.gcd(Cout, 128)
+        Zp2 = _round_up(Z + 4, zstep)
+        gpad2 = jnp.pad(
+            g, ((0, 0), (0, 0), (0, 0),
+                (Cout, max(0, (Zp2 - Zp1 - 1)) * Cout)))[..., :Zp2 * Cout]
+    else:
+        gpad2, Yp, _ = _pad_folded(g, Cout, front=2, min_tail=2)
     ZpC_g = gpad2.shape[3]
     xt = _pick_xt(X, Yp, ZpC_g, Y, Zs, C, jnp.dtype(dtype).itemsize)
     dx = _zconv_pallas_raw(
@@ -609,7 +859,8 @@ def _up_vjp_bwd(C, f, slope, interpret, res, dout):
     )
 
     # dW: per-block banded gradients via the one-pass Pallas kernel,
-    # pulled back through the fused-upsample weight builder
+    # pulled back through the fused-upsample weight builder (a padded g is
+    # read in place — no unpad pass)
     xpad2, _, _ = _pad_folded(x4, C)
     zb = Z // f
     fs = f // 2 + 2
@@ -617,7 +868,7 @@ def _up_vjp_bwd(C, f, slope, interpret, res, dout):
     fc_in = fs * C
     dW2 = _dw_pallas(xpad2, g, B=B, X=X, Y=Y, fc_in=fc_in, fco=fco, zb=zb,
                      stride=(f // 2) * C, per_block=True,
-                     interpret=interpret)
+                     interpret=interpret, g_padded=padded_out, g_cout=Cout)
     _, band_vjp = jax.vjp(
         lambda k: up_banded_weight(k, Zs, f, jnp.float32),
         kernel.astype(jnp.float32))
