@@ -25,7 +25,7 @@ def _cross_entropy(logits, target, weights: Optional[jnp.ndarray]):
     softmax elementwise pipeline.
     """
     n_classes = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(target, n_classes, dtype=logp.dtype)
     loss = -jnp.sum(logp * onehot, axis=-1)
     if weights is not None:
@@ -58,6 +58,8 @@ def segmentation_loss(prediction, target, use_top_k=False, top_k_ratio=1.0,
 
 def regression_loss(prediction, target, norm=1, channel_dim=-1):
     """L1/L2 summed over the channel dim, then mean. (reference: losses.py:53-71)"""
+    prediction = prediction.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     if norm == 1:
         loss = jnp.abs(prediction - target)
     elif norm == 2:
@@ -77,6 +79,8 @@ def spatial_regression_loss(prediction, target, norm=1, ignore_index=255,
         mask = instance_mask
     else:
         mask = target[..., :1] != ignore_index
+    prediction = prediction.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     if norm == 1:
         loss = jnp.abs(prediction - target)
     else:
@@ -92,6 +96,10 @@ def probabilistic_loss(prior_mu, prior_sigma, posterior_mu, posterior_sigma):
 
     (reference: losses.py:102-126)
     """
+    prior_mu = prior_mu.astype(jnp.float32)
+    prior_sigma = prior_sigma.astype(jnp.float32)
+    posterior_mu = posterior_mu.astype(jnp.float32)
+    posterior_sigma = posterior_sigma.astype(jnp.float32)
     posterior_var = posterior_sigma[:, 1:] ** 2
     prior_var = prior_sigma[:, 1:] ** 2
     posterior_log_sigma = jnp.log(posterior_sigma[:, 1:])
@@ -138,7 +146,7 @@ def sem_scal_loss(prediction, target, ignore_index=255):
     (reference: losses.py:191-251)
     """
     c = prediction.shape[-1]
-    p = jax.nn.softmax(prediction, axis=-1)
+    p = jax.nn.softmax(prediction.astype(jnp.float32), axis=-1)
     # reductions over all leading axes in place of a (-1, C) flatten — a
     # flattened (N, 2) fp32 tensor picks up 64x lane padding (29 GB at the
     # flagship voxel sizes) when XLA materialises it
@@ -167,12 +175,89 @@ def sem_scal_loss(prediction, target, ignore_index=255):
     return jnp.sum(jnp.where(class_present, loss_c, 0.0)) / count
 
 
+def voxel_losses_fused(logits, target, weights: Optional[jnp.ndarray] = None,
+                       use_top_k=False, top_k_ratio=1.0, ignore_index=255):
+    """(segmentation_loss, sem_scal_loss, geo_scal_loss) over voxel logits
+    from ONE shared log-softmax — bit-compatible restructuring of the three
+    standalone functions (tests/test_losses.py::test_voxel_losses_fused).
+
+    The standalone composition walks the (b, s, X, Y, Z, C) fp32 logits
+    ~9 times (an explicit fp32 convert, log_softmax for the CE, a full
+    softmax *materialised* for SemScal, another for GeoScal, plus their
+    one-hot products); at the flagship voxel sizes that is tens of GB of
+    HBM traffic per step. Here:
+      * logits stay bf16 in HBM — the fp32 upcast fuses into each
+        consuming reduction (no materialised fp32 copy),
+      * max/exp-sum run once; CE, SemScal and GeoScal all reuse ``lse``,
+      * SemScal's specificity numerator is algebraic in the other sums:
+        sum (1-p)(1-oh) m = sum m - p_sum - target_sum + nominator,
+        so no third pass exists,
+      * GeoScal needs only the empty-class probability exp(l0 - lse).
+    (reference: losses.py:9-50, 191-251, 254-287)
+    """
+    c = logits.shape[-1]
+    b, s = logits.shape[:2]
+    l = logits.astype(jnp.float32)
+    mx = jnp.max(l, axis=-1, keepdims=True)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(l - mx), axis=-1, keepdims=True))
+    oh = jax.nn.one_hot(target, c, dtype=jnp.float32)
+    red = tuple(range(target.ndim))
+
+    # --- segmentation CE: -sum(log_softmax * onehot) == valid*lse - pick
+    pick = jnp.sum(l * oh, axis=-1)
+    valid = jnp.sum(oh, axis=-1)  # 0 for out-of-range targets, as one_hot
+    ce = valid * lse[..., 0] - pick
+    if weights is not None:
+        ce = ce * jnp.sum(oh * weights.astype(jnp.float32), axis=-1)
+    ce = ce.reshape(b, s, -1)
+    if use_top_k:
+        k = int(top_k_ratio * ce.shape[2])
+        ce, _ = jax.lax.top_k(ce, k)
+    seg = jnp.mean(ce)
+
+    # --- shared masked sums (one fused multi-output reduction pass)
+    mask = (target != ignore_index)[..., None].astype(jnp.float32)
+    ohm = oh * mask
+    p_m = jnp.exp(l - lse) * mask  # fuses into the reductions below
+    nominator = jnp.sum(p_m * ohm, axis=red)       # (C,)
+    p_sum = jnp.sum(p_m, axis=red)
+    target_sum = jnp.sum(ohm, axis=red)
+    mask_sum = jnp.sum(mask)
+    non_target_sum = mask_sum - target_sum
+
+    # --- SemScal (losses.py:191-251 semantics)
+    precision = nominator / jnp.maximum(p_sum, _EPS)
+    recall = nominator / jnp.maximum(target_sum, _EPS)
+    spec_num = mask_sum - p_sum - target_sum + nominator
+    specificity = spec_num / jnp.maximum(non_target_sum, _EPS)
+    class_present = target_sum > 0
+    loss_c = jnp.where(p_sum > 0, _bce_vs_one(precision), 0.0)
+    loss_c += jnp.where(target_sum > 0, _bce_vs_one(recall), 0.0)
+    loss_c += jnp.where(non_target_sum > 0, _bce_vs_one(specificity), 0.0)
+    count = jnp.maximum(jnp.sum(class_present.astype(jnp.float32)), 1.0)
+    sem = jnp.sum(jnp.where(class_present, loss_c, 0.0)) / count
+
+    # --- GeoScal (losses.py:254-287 semantics) from the empty-class prob
+    p0 = jnp.exp(l[..., 0] - lse[..., 0])
+    m2 = mask[..., 0]
+    nonempty_target = ((target != 0) & (target != ignore_index)
+                       ).astype(jnp.float32)
+    intersection = jnp.sum(nonempty_target * (1 - p0) * m2)
+    g_precision = intersection / jnp.maximum(jnp.sum((1 - p0) * m2), _EPS)
+    g_recall = intersection / jnp.maximum(jnp.sum(nonempty_target), _EPS)
+    g_spec = jnp.sum((m2 - nonempty_target) * p0 * m2) / \
+        jnp.maximum(jnp.sum(m2 - nonempty_target), _EPS)
+    geo = (_bce_vs_one(g_precision) + _bce_vs_one(g_recall)
+           + _bce_vs_one(g_spec))
+    return seg, sem, geo
+
+
 def geo_scal_loss(prediction, target, ignore_index=255):
     """MonoScene geometric (occupancy) affinity loss.
 
     (reference: losses.py:254-287)
     """
-    p = jax.nn.softmax(prediction, axis=-1)
+    p = jax.nn.softmax(prediction.astype(jnp.float32), axis=-1)
     empty_probs = p[..., 0]  # keep the array shape; sums below are global
     nonempty_probs = 1 - empty_probs
     t = target
@@ -205,8 +290,9 @@ def ssim(prediction, target, channel=3, window_size=11, sigma=1.5, L=1.0,
     c1 = (0.01 * L) ** 2
     c2 = (0.03 * L) ** 2
     b, s = prediction.shape[:2]
-    pred = prediction.reshape((b * s,) + prediction.shape[2:])
-    targ = target.reshape((b * s,) + target.shape[2:])
+    pred = prediction.reshape((b * s,) + prediction.shape[2:]).astype(
+        jnp.float32)
+    targ = target.reshape((b * s,) + target.shape[2:]).astype(jnp.float32)
 
     win = _gaussian_window(window_size, sigma)[:, :, None, None]
     win = jnp.tile(win, (1, 1, 1, channel))  # depthwise

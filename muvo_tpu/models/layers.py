@@ -269,8 +269,13 @@ def upsample2x_trilinear_folded(x4, Z: int, C: int):
 
 
 def downsample_nearest(x, factor: int):
-    """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC)."""
-    return x[..., ::factor, ::factor, :]
+    """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC).
+
+    lax.slice, not x[..., ::f, ::f, :]: the jnp multi-axis strided indexing
+    form lowers to a stablehlo.gather (see preprocess._nearest_resize)."""
+    strides = [1] * x.ndim
+    strides[-3], strides[-2] = factor, factor
+    return jax.lax.slice(x, [0] * x.ndim, x.shape, strides)
 
 
 def leaky_relu_torch(x, negative_slope=0.01):

@@ -13,13 +13,12 @@ import jax.numpy as jnp
 
 from muvo_tpu.constants import SEMANTIC_SEG_WEIGHTS, VOXEL_SEG_WEIGHTS
 from muvo_tpu.losses import (
-    geo_scal_loss,
     kl_loss,
     regression_loss,
     segmentation_loss,
-    sem_scal_loss,
     spatial_regression_loss,
     ssim,
+    voxel_losses_fused,
 )
 
 
@@ -151,14 +150,15 @@ def compute_loss(cfg, batch: Dict, output: Dict) -> Dict[str, jnp.ndarray]:
                    if cfg.VOXEL_SEG.USE_WEIGHTS else None)
         for k in (1, 2, 4):
             discount = 1.0 / k
-            vox = segmentation_loss(
+            # one shared log-softmax for CE + SemScal + GeoScal — the
+            # standalone composition walks the fp32 voxel logits ~9x
+            # (losses.voxel_losses_fused; equality-tested vs the three)
+            vox, semscal, geoscal = voxel_losses_fused(
                 output[f"voxel_{k}"], batch[f"voxel_label_{k}"],
                 use_top_k=cfg.VOXEL_SEG.USE_TOP_K,
                 top_k_ratio=cfg.VOXEL_SEG.TOP_K_RATIO,
                 weights=weights,
             )
-            semscal = sem_scal_loss(output[f"voxel_{k}"], batch[f"voxel_label_{k}"])
-            geoscal = geo_scal_loss(output[f"voxel_{k}"], batch[f"voxel_label_{k}"])
             losses[f"voxel_{k}"] = discount * cfg.LOSSES.WEIGHT_VOXEL * vox
             losses[f"sem_scal_{k}"] = discount * cfg.LOSSES.WEIGHT_VOXEL * semscal
             losses[f"geo_scal_{k}"] = discount * cfg.LOSSES.WEIGHT_VOXEL * geoscal

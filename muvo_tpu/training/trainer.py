@@ -127,7 +127,11 @@ class WorldModelTrainer:
                 variables, cbatch, training=False, rng=rng_model
             )
             new_stats = batch_stats
-        output = cast_floating(output, jnp.float32)
+        # NOTE: the model output stays bf16 here — every loss upcasts at
+        # its first use, so the fp32 convert fuses into the loss's own
+        # reductions instead of materialising fp32 copies of the decoder
+        # outputs (a wholesale cast of the output dict measured 16.8 ms of
+        # pure convert traffic on the flagship step).
         losses = compute_loss(self.cfg, pb, output)
         return reduce_loss(losses), (losses, new_stats)
 

@@ -13,6 +13,13 @@ import os
 def setup_jax(cache_dir: str = None):
     import jax
 
+    # The container's sitecustomize clobbers JAX_PLATFORMS (it force-inserts
+    # the axon TPU plugin); this var survives and is applied post-import, so
+    # `MUVO_FORCE_PLATFORM=cpu python train.py ...` reliably runs on CPU.
+    forced = os.environ.get("MUVO_FORCE_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+
     cache_dir = cache_dir or os.environ.get(
         "MUVO_JAX_CACHE", os.path.expanduser("~/.cache/muvo_jax")
     )

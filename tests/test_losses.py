@@ -3,6 +3,7 @@
 import numpy as np
 import torch
 import torch.nn.functional as F
+import jax
 import jax.numpy as jnp
 
 from muvo_tpu import losses as L
@@ -208,3 +209,52 @@ def test_chamfer_distance():
     b = a + 1.0
     out_shift = float(L.chamfer_distance_loss(jnp.asarray(a), jnp.asarray(b)))
     assert out_shift > 0.5
+
+
+def test_voxel_losses_fused_matches_standalone():
+    """The fused CE+SemScal+GeoScal (one shared log-softmax) must equal the
+    composition of the three standalone functions, incl. ignored voxels,
+    class weights, and top-k mining."""
+    b, s, c, x, y, z = 2, 2, 9, 6, 5, 4
+    logits = rng.randn(b, s, x, y, z, c).astype(np.float32)
+    target = rng.randint(0, c, (b, s, x, y, z))
+    target.flat[::17] = 255  # ignored voxels
+    lj, tj = jnp.asarray(logits), jnp.asarray(target)
+    w = jnp.asarray(np.abs(rng.randn(c)).astype(np.float32) + 0.1)
+
+    for weights, topk, ratio in [(None, False, 1.0), (w, False, 1.0),
+                                 (None, True, 0.5), (w, True, 0.25)]:
+        seg_f, sem_f, geo_f = L.voxel_losses_fused(
+            lj, tj, weights=weights, use_top_k=topk, top_k_ratio=ratio)
+        seg_e = L.segmentation_loss(lj, tj, use_top_k=topk,
+                                    top_k_ratio=ratio, weights=weights)
+        sem_e = L.sem_scal_loss(lj, tj)
+        geo_e = L.geo_scal_loss(lj, tj)
+        np.testing.assert_allclose(float(seg_f), float(seg_e), rtol=1e-5)
+        np.testing.assert_allclose(float(sem_f), float(sem_e), rtol=1e-5)
+        np.testing.assert_allclose(float(geo_f), float(geo_e), rtol=1e-5)
+
+
+def test_voxel_losses_fused_bf16_grads_finite():
+    """bf16 logits (the train-path dtype): values close to fp32, grads
+    finite and matching the standalone composition."""
+    b, s, c, x, y, z = 1, 1, 9, 4, 4, 4
+    logits = rng.randn(b, s, x, y, z, c).astype(np.float32)
+    target = jnp.asarray(rng.randint(0, c, (b, s, x, y, z)))
+
+    def fused_total(l):
+        a, b_, c_ = L.voxel_losses_fused(l, target)
+        return a + b_ + c_
+
+    def standalone_total(l):
+        return (L.segmentation_loss(l, target) + L.sem_scal_loss(l, target)
+                + L.geo_scal_loss(l, target))
+
+    lb = jnp.asarray(logits).astype(jnp.bfloat16)
+    vf, gf = jax.value_and_grad(fused_total)(lb)
+    vs, gs = jax.value_and_grad(standalone_total)(lb)
+    assert np.isfinite(float(vf))
+    np.testing.assert_allclose(float(vf), float(vs), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gs, np.float32),
+                               rtol=1e-2, atol=1e-3)
