@@ -67,7 +67,7 @@ def _flops_of(jitted, *abstract_args) -> float:
 
 
 def main(n_steps: int = 12, warmup: int = 3, large: bool = False,
-         batch_override: int = 0):
+         batch_override: int = 0, remat: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -94,6 +94,11 @@ def main(n_steps: int = 12, warmup: int = 3, large: bool = False,
         cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
     if batch_override:
         cfg.BATCHSIZE = batch_override * max(1, len(jax.devices()))
+    if remat:  # --remat=off|voxel|all[,enc] sweep override
+        opts = remat.split(",")
+        cfg.MODEL.REMAT = opts[0] != "off"
+        cfg.MODEL.REMAT_SCOPE = opts[0] if opts[0] != "off" else "all"
+        cfg.MODEL.REMAT_ENCODER = "enc" in opts
 
     mesh = make_mesh()
     trainer = WorldModelTrainer(cfg, mesh=mesh)
@@ -161,7 +166,11 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     steps = int(args[0]) if args else 12
     batch = 0
+    remat = ""
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
-    main(steps, large="--large" in sys.argv, batch_override=batch)
+        if a.startswith("--remat="):
+            remat = a.split("=")[1]
+    main(steps, large="--large" in sys.argv, batch_override=batch,
+         remat=remat)

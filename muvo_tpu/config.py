@@ -355,6 +355,10 @@ def _build_defaults() -> CfgNode:
     # common.py:373/553); exposed so tiny dryrun graphs can shrink it.
     c.MODEL.DECODER_BASE_CHANNELS = 512
     c.MODEL.REMAT = False
+    # Which decoders REMAT covers: "all", or "voxel" to remat only the
+    # voxel decoder (the HBM-dominant one) while rgb/lidar/bev store their
+    # activations — saves their forward recompute in the backward pass.
+    c.MODEL.REMAT_SCOPE = "all"
     # Also rematerialise the image/lidar encoder backbones (frees their
     # feature maps from HBM at the cost of a second forward in backward).
     c.MODEL.REMAT_ENCODER = False

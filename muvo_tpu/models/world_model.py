@@ -197,12 +197,16 @@ class MuvoWorldModel(nn.Module):
             use_remat = bool(cfg.MODEL.REMAT)
         except AttributeError:
             use_remat = False
+        try:
+            remat_scope = str(cfg.MODEL.REMAT_SCOPE)
+        except AttributeError:
+            remat_scope = "all"
+        bev_cls, conv_cls, voxel_cls = BevDecoder, ConvDecoder, VoxelDecoder
         if use_remat:
-            bev_cls = nn.remat(BevDecoder)
-            conv_cls = nn.remat(ConvDecoder)
             voxel_cls = nn.remat(VoxelDecoder)
-        else:
-            bev_cls, conv_cls, voxel_cls = BevDecoder, ConvDecoder, VoxelDecoder
+            if remat_scope == "all":
+                bev_cls = nn.remat(BevDecoder)
+                conv_cls = nn.remat(ConvDecoder)
 
         # Decoder constant sizes are target_size / 2^6 (six 2x upsamplings):
         # reference hard-codes (5,13) = 320x832/64, (1,16) = 64x1024/64,

@@ -46,7 +46,7 @@ def _round_up(x, m):
 # forward
 # ---------------------------------------------------------------------------
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                  *, scale, seq_len, block_k):
+                  *, seq_len, block_k):
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -55,17 +55,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by 1/sqrt(d) on the host side
     k = k_ref[0]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_k)
+    )  # (block_q, block_k)
 
-    # Mask keys beyond the true sequence length (zero-padded tail).
-    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+    # Mask keys beyond the true sequence length (zero-padded tail). The
+    # kernel is VPU-bound (exp/reduction), so the iota+compare+select runs
+    # only on the one block that actually holds padded columns.
+    s = _masked_tail(s, kv_idx, seq_len, block_k)
 
     # Stats stay lane-replicated at 128 wide: a (block_q, 1) column lives in
     # lane 0 only and every consumer op pays a cross-lane broadcast (this is
@@ -108,12 +109,14 @@ def _flash_fwd(q, k, v, block_q, block_k):
     def pad(x, n_to):
         return jnp.pad(x, ((0, 0), (0, n_to - n), (0, d_pad - d)))
 
-    qp, kp, vp = pad(q, nq_pad), pad(k, nk_pad), pad(v, nk_pad)
+    # Pre-scale q on the (n, d) operand: saves a VPU multiply over every
+    # (block_q, block_k) score block inside the VPU-bound kernel.
+    qp = pad(q * jnp.asarray(scale, q.dtype), nq_pad)
+    kp, vp = pad(k, nk_pad), pad(v, nk_pad)
     grid = (bh, nq_pad // block_q, nk_pad // block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len=n,
-                          block_k=block_k),
+        functools.partial(_flash_kernel, seq_len=n, block_k=block_k),
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((bh, nq_pad, _LANE), jnp.float32),
@@ -153,6 +156,20 @@ def _flash_fwd(q, k, v, block_q, block_k):
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+def _masked_tail(s, idx, seq_len, block):
+    """NEG_INF-mask padded columns — only materialised on the one ragged
+    tail block (the kernels are partially VPU-bound; full blocks skip the
+    iota+compare+select entirely)."""
+    if seq_len % block == 0:
+        return s
+
+    def _mask(x):
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(col < seq_len % block, x, _NEG_INF)
+
+    return jax.lax.cond(idx == seq_len // block, _mask, lambda x: x, s)
+
+
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, acc_ref, *, scale, seq_len, block_k):
     kv_idx = pl.program_id(2)
@@ -161,7 +178,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by 1/sqrt(d)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -172,15 +189,16 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = jnp.tile(delta_ref[0], (1, rep))
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _masked_tail(s, kv_idx, seq_len, block_k)
     p = jnp.exp(s - lse)  # fp32 (block_q, block_k); 0 on masked cols
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    # ds here is dL/ds for the PRE-scale scores (s = (scale q)·k); the
+    # chain-rule factor `scale` lands once on the small finalize output
+    # instead of on every (block_q, block_k) block.
+    ds = p * (dp - delta)
 
     acc_ref[...] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -188,11 +206,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale, seq_len,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, seq_len,
                           block_k):
     q_idx = pl.program_id(2)
 
@@ -201,7 +219,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by 1/sqrt(d)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -211,10 +229,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     kv_idx = pl.program_id(1)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _masked_tail(s, kv_idx, seq_len, block_k)
     p = jnp.exp(s - lse)  # (block_q, block_k)
 
     # dv += p^T dO   (padded q rows contribute 0: their dO rows are 0)
@@ -224,9 +240,9 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)  # pre-scale-s gradient; see dq kernel note
 
-    # dk += ds^T q
+    # dk += ds^T q_scaled == scale · ds^T q — no scale op needed at all
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -249,7 +265,9 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     def pad(x, n_to):
         return jnp.pad(x, ((0, 0), (0, n_to - n), (0, d_pad - d)))
 
-    qp, dop = pad(q, nq_pad), pad(do, nq_pad)
+    # q pre-scaled (see _flash_fwd): s matches the fwd's saved lse, dk
+    # needs no scale op, dq applies scale once at finalize.
+    qp, dop = pad(q * jnp.asarray(scale, q.dtype), nq_pad), pad(do, nq_pad)
     kp, vp = pad(k, nk_pad), pad(v, nk_pad)
 
     # D = rowsum(dO ⊙ O): tiny elementwise reduce, XLA fuses it with the
@@ -294,7 +312,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     row_spec2 = pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0))
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=n,
+        functools.partial(_flash_bwd_dkv_kernel, seq_len=n,
                           block_k=block_k),
         out_shape=[
             jax.ShapeDtypeStruct((bh, nk_pad, d_pad), k.dtype),

@@ -113,3 +113,20 @@ def test_remat_matches_plain_forward(setup):
                                np.asarray(out["rgb_1"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rout["voxel_1"]),
                                np.asarray(out["voxel_1"]), atol=1e-5)
+
+
+def test_remat_scope_voxel_matches_plain_forward(setup):
+    """REMAT_SCOPE='voxel' (remat only the voxel decoder, rgb/lidar/bev
+    store activations) is semantics-preserving too."""
+    cfg, model, variables, pb, out, _ = setup
+    rcfg = tiny_test_cfg()
+    rcfg.MODEL.REMAT = True
+    rcfg.MODEL.REMAT_SCOPE = "voxel"
+    rmodel = MuvoWorldModel(as_static(rcfg))
+    rout, _ = jax.jit(
+        lambda v, b, r: rmodel.apply(v, b, training=False, rng=r)
+    )(variables, pb, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(rout["rgb_1"]),
+                               np.asarray(out["rgb_1"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rout["voxel_1"]),
+                               np.asarray(out["voxel_1"]), atol=1e-5)

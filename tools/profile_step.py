@@ -68,23 +68,27 @@ def run_and_trace(trace_dir: str, large: bool = False, batch: int = 0):
     print("trace written to", trace_dir)
 
 
-def summarize(trace_dir: str, top: int = 40):
+def _device_events(trace_dir: str):
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
         print("no trace files found under", trace_dir)
-        return
+        return []
     path = max(files, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
+    # hlo_category present <=> a real HLO op span (filters the whole-step
+    # umbrella events, which would double-count the entire device time)
+    return [ev for ev in trace.get("traceEvents", [])
+            if ev.get("ph") == "X" and "hlo_category" in
+            (ev.get("args") or {})]
 
+
+def summarize(trace_dir: str, top: int = 40):
     durations = defaultdict(float)
     counts = defaultdict(int)
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X":
-            continue
+    for ev in _device_events(trace_dir):
         name = ev.get("name", "")
-        cat = ev.get("args", {}).get("long_name", name)
         durations[name] += ev.get("dur", 0) / 1e3  # ms
         counts[name] += 1
 
@@ -94,12 +98,44 @@ def summarize(trace_dir: str, top: int = 40):
         print(f"{dur:10.2f} ms  x{counts[name]:<5} {name[:110]}")
 
 
+def summarize_by_scope(trace_dir: str, depth: int = 3, top: int = 40):
+    """Aggregate device op time by the tf_op model scope (e.g.
+    'MuvoWorldModel/voxel_decoder/...') truncated to ``depth`` segments.
+    Events without a tf_op arg are bucketed by hlo_category — this is how
+    step cost is attributed to model components (CLAUDE.md perf notes)
+    instead of guessing from fusion numbers."""
+    durations = defaultdict(float)
+    counts = defaultdict(int)
+    for ev in _device_events(trace_dir):
+        args = ev.get("args") or {}
+        scope = args.get("tf_op", "")
+        if scope:
+            key = "/".join(scope.split("/")[:depth])
+        else:
+            key = f"[{args.get('hlo_category', 'unattributed')}]"
+        durations[key] += ev.get("dur", 0) / 1e3
+        counts[key] += 1
+
+    total = sum(durations.values())
+    print(f"\ntotal traced device time: {total:.1f} ms "
+          f"over {len(durations)} scopes (depth={depth})")
+    for name, dur in sorted(durations.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur:10.2f} ms  x{counts[name]:<5} {name[:140]}")
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     trace_dir = args[0] if args else "/tmp/muvo_trace"
     batch = 0
+    depth = 3
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
-    run_and_trace(trace_dir, large="--large" in sys.argv, batch=batch)
-    summarize(trace_dir)
+        if a.startswith("--depth="):
+            depth = int(a.split("=")[1])
+    if "--summarize-only" not in sys.argv:
+        run_and_trace(trace_dir, large="--large" in sys.argv, batch=batch)
+    if "--by-scope" in sys.argv:
+        summarize_by_scope(trace_dir, depth=depth)
+    else:
+        summarize(trace_dir)
