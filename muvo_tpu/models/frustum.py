@@ -109,9 +109,14 @@ class FrustumPooling:
         gx = geom[..., 0] * self.bev_intrinsics[0, 0] + self.bev_intrinsics[0, 2]
         gy = geom[..., 1] * self.bev_intrinsics[1, 1] + self.bev_intrinsics[1, 2]
         gz = (geom[..., 2] - self.bx[2] + self.dx[2] / 2.0) / self.dx[2]
-        ix = jnp.floor(gx).astype(jnp.int32)
-        iy = jnp.floor(gy).astype(jnp.int32)
-        iz = jnp.floor(gz).astype(jnp.int32)
+        # torch `.long()` truncates toward zero, NOT floor: the reference
+        # keeps points with coords in (-1, 0) at cell 0 (its own TODO at
+        # frustum_pooling.py:142 notes the behind-the-car projections this
+        # causes). Replicated for converted-weight parity
+        # (tests/test_reference_parity_decoders.py).
+        ix = jnp.trunc(gx).astype(jnp.int32)
+        iy = jnp.trunc(gy).astype(jnp.int32)
+        iz = jnp.trunc(gz).astype(jnp.int32)
 
         valid = (
             (ix >= 0) & (ix < nx0) & (iy >= 0) & (iy < nx1) & (iz >= 0) & (iz < nx2)

@@ -90,7 +90,15 @@ class PointPillarNet(nn.Module):
         cy = ((points[..., 1] - self.min_y) * self.pixels_per_meter).astype(jnp.int32)
         cx = jnp.clip(cx, 0, nx - 1)
         cy = jnp.clip(cy, 0, ny - 1)
-        pillar = cy * nx + cx  # (B, P)
+        # Reference canvas quirk (common.py:757-761): rows are the FLIPPED
+        # X grid coordinate, columns the Y coordinate — scatter_points
+        # indexes canvas[b, :, ny-1-coords[:,1], coords[:,2]] where
+        # coords = (batch, gx, gy). Replicated (with its clamps) so a
+        # converted reference checkpoint sees identically-oriented BEV
+        # maps (tests/test_reference_parity_pointpillars.py).
+        row = jnp.clip(ny - 1 - cx, 0, ny - 1)
+        col = jnp.clip(cy, 0, nx - 1)
+        pillar = row * nx + col  # (B, P)
         pillar = jnp.where(valid, pillar, n_pillars)  # padding slot
 
         # -- cluster means per pillar (stop-gradient region in the reference) --
@@ -105,8 +113,12 @@ class PointPillarNet(nn.Module):
             jax.vmap(seg_stats)(points, pillar, valid)
         )
 
-        x_centers = cx.astype(points.dtype) / self.pixels_per_meter + self.min_x
-        y_centers = cy.astype(points.dtype) / self.pixels_per_meter + self.min_y
+        # Reference decoration quirk (common.py:724-726): the grid axes are
+        # SWAPPED — x_centers is built from the y grid coordinate and vice
+        # versa (unique_coords columns are (batch, gx, gy) but decorate
+        # reads [:, 2] as x and [:, 1] as y). Replicated for parity.
+        x_centers = cy.astype(points.dtype) / self.pixels_per_meter + self.min_x
+        y_centers = cx.astype(points.dtype) / self.pixels_per_meter + self.min_y
 
         feats = jnp.concatenate(
             [
@@ -138,6 +150,6 @@ class PointPillarNet(nn.Module):
             return pooled[:n_pillars]
 
         canvas = jax.vmap(seg_max)(point_feats, pillar, valid)  # (B, ny*nx, C)
-        canvas = canvas.reshape(b, ny, nx, c)
-        # reference places row (ny - 1 - y): flip the y axis
-        return canvas[:, ::-1, :, :]
+        # pillar ids already encode the reference's row/col layout
+        # (rows = flipped gx, cols = gy) — no further flip
+        return canvas.reshape(b, ny, nx, c)

@@ -41,7 +41,8 @@ def brute_force_frustum_pool(fp, feats, depth, K, pose):
                     gx = pt[0] * bev_K[0, 0] + bev_K[0, 2]
                     gy = pt[1] * bev_K[1, 1] + bev_K[1, 2]
                     gz = (pt[2] - bx[2] + dx[2] / 2) / dx[2]
-                    ix, iy, iz = int(np.floor(gx)), int(np.floor(gy)), int(np.floor(gz))
+                    # trunc-toward-zero == torch .long() (reference quirk)
+                    ix, iy, iz = int(gx), int(gy), int(gz)
                     if 0 <= ix < nx0 and 0 <= iy < nx1 and 0 <= iz < nx2:
                         w = depth[bi, i, j, d] * mask[bi, i, j, d]
                         out[bi, iz, iy, ix] += w * feats[bi, i, j]

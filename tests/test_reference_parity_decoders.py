@@ -12,27 +12,13 @@ re-implementation. (reference: muvo/models/common.py:370-424, 498-546,
 549-632)
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 import torch
 
-# --- make the reference package importable: stub the two imports its
-# common.py pulls in for classes this test never instantiates -------------
-sys.path.insert(0, "/root/reference")
-for _name in ("timm", "torch_scatter"):
-    if _name not in sys.modules:
-        _m = types.ModuleType(_name)
-        if _name == "torch_scatter":
-            def _unused(*a, **k):  # RouteEncode/DynamicPointNet only
-                raise NotImplementedError
-            _m.scatter_mean = _unused
-            _m.scatter_max = _unused
-        else:
-            _m.create_model = None
-        sys.modules[_name] = _m
+from reference_stubs import install as _install_reference_stubs
+
+_install_reference_stubs()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
