@@ -38,6 +38,23 @@ def _scatter_max(src, index, dim=0):
     return out, None  # callers use [0] (torch_scatter returns (max, argmax))
 
 
+def _downsample_conv(in_channels, out_channels, kernel_size, stride=1,
+                     dilation=1, first_dilation=None, norm_layer=None):
+    """Faithful stand-in for timm.models.resnet.downsample_conv as the
+    reference BasicBlock calls it (kernel_size=1, stride=2 -> padding 0)."""
+    import torch.nn as nn
+
+    norm_layer = norm_layer or nn.BatchNorm2d
+    kernel_size = 1 if stride == 1 and dilation == 1 else kernel_size
+    first_dilation = (first_dilation or dilation) if kernel_size > 1 else 1
+    padding = ((stride - 1) + first_dilation * (kernel_size - 1)) // 2
+    return nn.Sequential(
+        nn.Conv2d(in_channels, out_channels, kernel_size, stride=stride,
+                  padding=padding, dilation=first_dilation, bias=False),
+        norm_layer(out_channels),
+    )
+
+
 def install():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -49,3 +66,11 @@ def install():
     for name in ("timm", "open3d", "carla"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+    if "timm.models" not in sys.modules:
+        models = types.ModuleType("timm.models")
+        resnet = types.ModuleType("timm.models.resnet")
+        resnet.downsample_conv = _downsample_conv
+        models.resnet = resnet
+        sys.modules["timm"].models = models
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.resnet"] = resnet
