@@ -65,7 +65,18 @@ def install():
         sys.modules["torch_scatter"] = m
     for name in ("timm", "open3d", "carla"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            m = types.ModuleType(name)
+            # PEP 562 module __getattr__: the repo's own lazy-import sites
+            # use `try: import carla; carla.X ... except ImportError:` — a
+            # silent empty stub would flip them onto the carla path and
+            # crash with AttributeError. Raising ImportError on attribute
+            # access keeps their fallback contract intact while letting the
+            # reference's module-level `import carla` succeed.
+            def _missing(attr, _name=name):
+                raise ImportError(
+                    f"'{_name}' is a parity-test stub (attribute {attr!r})")
+            m.__getattr__ = _missing
+            sys.modules[name] = m
     if "timm.models" not in sys.modules:
         models = types.ModuleType("timm.models")
         resnet = types.ModuleType("timm.models.resnet")

@@ -93,6 +93,32 @@ def test_dp8_matches_single_device(global_batch):
     assert worst < 5e-4, f"dp8 vs single-device param drift {worst}"
 
 
+def test_gradient_accumulation_applies_on_kth_microstep(global_batch):
+    """OPTIMIZER.ACCUMULATE_GRAD_BATCHES=2 (optax.MultiSteps): the first
+    micro-step must leave the params untouched (gradients only accumulate),
+    the second must apply the averaged update. Pins the MultiSteps wiring
+    (reference: Lightning accumulate_grad_batches, trainer config)."""
+    cfg, batch = global_batch
+    acc_cfg = _spmd_cfg()
+    acc_cfg.BATCHSIZE = 8
+    acc_cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 2
+    mesh = make_mesh(n_data=8, n_model=1, devices=jax.devices())
+    trainer = WorldModelTrainer(acc_cfg, mesh=mesh)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = trainer.init_state(jbatch, seed=42)
+    step = trainer.make_train_step(donate=False)
+    sharded = shard_batch(jbatch, mesh)
+
+    mid, m1 = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(jax.device_get(m1["loss"]))
+    assert _worst_leaf_diff(state.params, mid.params) == 0.0, \
+        "params must not move mid-accumulation"
+
+    done, m2 = step(mid, sharded, jax.random.PRNGKey(1))
+    assert _worst_leaf_diff(mid.params, done.params) > 0.0, \
+        "the k-th micro-step must apply the accumulated update"
+
+
 def test_constrain_rejects_unknown_axis():
     from muvo_tpu.parallel.sharding import constrain
 
