@@ -41,8 +41,14 @@ class XtMaCNN(nn.Module):
 
 
 class _ImpalaResBlock(nn.Module):
+    """relu-conv-relu-conv residual block (reference torch_util.py:41-73).
+
+    The reference's per-stack `scale` only rescales the conv WEIGHT INIT
+    (NormedConv2d) — the forward is a plain `x + residual(x)`, so no
+    runtime multiply exists here either (converted reference weights
+    already carry the scale)."""
+
     channels: int
-    scale: float
 
     @nn.compact
     def __call__(self, x):
@@ -50,7 +56,7 @@ class _ImpalaResBlock(nn.Module):
         y = nn.Conv(self.channels, (3, 3), padding="SAME")(y)
         y = nn.relu(y)
         y = nn.Conv(self.channels, (3, 3), padding="SAME")(y)
-        return x + y * self.scale
+        return x + y
 
 
 class ImpalaCNN(nn.Module):
@@ -64,13 +70,12 @@ class ImpalaCNN(nn.Module):
 
     @nn.compact
     def __call__(self, birdview, state):
-        scale = 1.0 / (len(self.chans) ** 0.5)
         x = birdview
         for ch in self.chans:
             x = nn.Conv(ch, (3, 3), padding="SAME")(x)
             x = max_pool_torch(x, 3, 2, padding=1)
             for _ in range(self.nblock):
-                x = _ImpalaResBlock(ch, scale / (self.nblock ** 0.5))(x)
+                x = _ImpalaResBlock(ch)(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
 
@@ -78,7 +83,8 @@ class ImpalaCNN(nn.Module):
         for n in self.states_neurons:
             s = nn.relu(nn.Dense(n)(s))
         x = jnp.concatenate([x, s], axis=-1)
-        x = nn.relu(nn.Dense(512)(x))
+        # single post-concat dense, as in the reference (torch_layers.py:
+        # 119-120, 145); no hidden 512 layer exists there
         x = nn.Dense(self.features_dim)(x)
         return nn.relu(x) if self.final_relu else x
 

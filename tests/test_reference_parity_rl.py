@@ -71,3 +71,67 @@ def test_xtma_cnn_matches_reference():
                      jnp.asarray(state))
     np.testing.assert_allclose(np.asarray(out), ref_out,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_impala_cnn_matches_reference():
+    from rl_birdview.models.torch_layers import ImpalaCNN as RefImpalaCNN
+
+    from muvo_tpu.rl.networks import ImpalaCNN
+
+    torch.manual_seed(9)
+    hw = 32
+    obs_space = gym.spaces.Dict({
+        "birdview": gym.spaces.Box(0, 255, (3, hw, hw), np.uint8),
+        "state": gym.spaces.Box(-10, 10, (6,), np.float32),
+    })
+    chans = (8, 16)
+    ref = RefImpalaCNN(obs_space, chans=chans, states_neurons=[32],
+                       features_dim=64, nblock=2).eval()
+
+    b = 2
+    birdview = rng.rand(b, hw, hw, 3).astype(np.float32)
+    state = rng.randn(b, 6).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.moveaxis(birdview, -1, 1).copy()),
+                      torch.from_numpy(state)).numpy()
+
+    ours = ImpalaCNN(chans=chans, states_neurons=(32,), features_dim=64,
+                     nblock=2)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(birdview),
+                          jnp.asarray(state))
+    params = jax.device_get(variables["params"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def conv(dst, src):
+        params[dst]["kernel"] = np.transpose(sd[f"{src}.weight"],
+                                             (2, 3, 1, 0))
+        params[dst]["bias"] = sd[f"{src}.bias"]
+
+    ci = 0  # our sequential Conv_N numbering: firstconv, then 2 per block
+    bi = 0
+    for si in range(len(chans)):
+        conv(f"Conv_{ci}", f"stacks.{si}.firstconv"); ci += 1
+        for ni in range(2):
+            blk = params[f"_ImpalaResBlock_{bi}"]
+            for j in range(2):
+                blk[f"Conv_{j}"]["kernel"] = np.transpose(
+                    sd[f"stacks.{si}.blocks.{ni}.conv{j}.weight"],
+                    (2, 3, 1, 0))
+                blk[f"Conv_{j}"]["bias"] = \
+                    sd[f"stacks.{si}.blocks.{ni}.conv{j}.bias"]
+            bi += 1
+    params["Dense_0"]["kernel"] = sd["state_linear.0.weight"].T
+    params["Dense_0"]["bias"] = sd["state_linear.0.bias"]
+    # fused dense: permute image flatten columns (C,H,W) -> (H,W,C)
+    c, h, w = chans[-1], hw // 2 ** len(chans), hw // 2 ** len(chans)
+    w0 = sd["dense.weight"]
+    idx_chw = np.arange(c * h * w).reshape(c, h, w)
+    perm = np.transpose(idx_chw, (1, 2, 0)).reshape(-1)
+    w_full = np.concatenate([w0[:, perm], w0[:, c * h * w:]], axis=1)
+    params["Dense_1"]["kernel"] = w_full.T
+    params["Dense_1"]["bias"] = sd["dense.bias"]
+
+    out = ours.apply({"params": params}, jnp.asarray(birdview),
+                     jnp.asarray(state))
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=1e-4, atol=1e-4)
