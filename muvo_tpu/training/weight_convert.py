@@ -232,7 +232,11 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     large = bool(cfg.MODEL.TRANSFORMER.LARGE)
 
     _resnet_entries("encoder", ("encoder",), state, params, stats)
-    _decoder_ds("feat_decoder", ("feat_decoder",), state, params, stats, large)
+    # the frustum-BEV branch always uses the top-down Decoder for
+    # feat_decoder, regardless of LARGE (mile.py:32-34)
+    feat_large = large or bool(cfg.MODEL.TRANSFORMER.BEV)
+    _decoder_ds("feat_decoder", ("feat_decoder",), state, params, stats,
+                feat_large)
     _resnet_entries("range_view_encoder", ("lidar_encoder",), state, params,
                     stats)
     _decoder_ds("range_view_decoder", ("lidar_decoder",), state, params, stats,
@@ -261,6 +265,21 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
         for norm in ("norm1", "norm2"):
             _set(params, dp + (norm, "scale"), state[f"{sp}.{norm}.weight"])
             _set(params, dp + (norm, "bias"), state[f"{sp}.{norm}.bias"])
+
+    # frustum-BEV fusion branch (mile.py:36-59): mono-depth decoder + 1x1
+    # depth head + the 4x BEV down-sampler
+    _decoder_ds("depth_decoder", ("depth_decoder",), state, params, stats,
+                large=True)  # reference always uses the top-down Decoder here
+    if "depth.weight" in state:
+        _set(params, ("depth_head", "kernel"), _conv(state["depth.weight"]))
+        _set(params, ("depth_head", "bias"), state["depth.bias"])
+    for i, idx in enumerate((0, 2)):
+        s = f"bev_down_sample_4.{idx}"
+        if f"{s}.weight" in state:
+            _set(params, ("bev_down_sample_4", f"Conv_{i}", "kernel"),
+                 _conv(state[f"{s}.weight"]))
+            _set(params, ("bev_down_sample_4", f"Conv_{i}", "bias"),
+                 state[f"{s}.bias"])
 
     _feature_compressor("image_feature_conv", ("image_feature_conv",), state,
                         params, stats)

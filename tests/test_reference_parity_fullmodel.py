@@ -65,7 +65,8 @@ def _deploy_fn(module, batch, rng):
             "policy": policy_out, "decoded": decoded}
 
 
-def test_full_model_matches_reference():
+@pytest.mark.parametrize("variant", ["flagship", "bev_frustum"])
+def test_full_model_matches_reference(variant):
     from muvo_tpu.config import as_static, get_cfg
     from muvo_tpu.data.synthetic import synthetic_batch
     from muvo_tpu.models.preprocess import PreProcess
@@ -83,6 +84,9 @@ def test_full_model_matches_reference():
     cfg.RECEPTIVE_FIELD = 2
     cfg.FUTURE_HORIZON = 0
     cfg.POINTS.DEVICE_PROJECTION = False
+    if variant == "bev_frustum":
+        # the frustum-pooled BEV token path (mile.py:36-59, 505-523)
+        cfg.MODEL.TRANSFORMER.BEV = True
 
     torch.manual_seed(0)
     ref = Mile(cfg).eval()
