@@ -245,6 +245,22 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
                     stats)
     _decoder_ds("point_pillar_decoder", ("lidar_decoder",), state, params,
                 stats, large)
+    # PointPillarNet point-net: Sequential(Linear, BN1d, ReLU) x2
+    # (common.py:682-706) -> fc{i}/bn{i} with masked-stats BatchNorm
+    for i, li in enumerate((0, 3)):
+        sp = f"point_pillars.point_net.net.{li}"
+        if f"{sp}.weight" not in state:
+            continue
+        _dense(sp, ("point_pillars", f"fc{i}"), state, params)
+        bnp = f"point_pillars.point_net.net.{li + 1}"
+        _set(params, ("point_pillars", f"bn{i}", "scale"),
+             state[f"{bnp}.weight"])
+        _set(params, ("point_pillars", f"bn{i}", "bias"),
+             state[f"{bnp}.bias"])
+        _set(stats, ("point_pillars", f"bn{i}", "mean"),
+             state[f"{bnp}.running_mean"])
+        _set(stats, ("point_pillars", f"bn{i}", "var"),
+             state[f"{bnp}.running_var"])
 
     if "type_embedding" in state:
         params["type_embedding"] = state["type_embedding"]

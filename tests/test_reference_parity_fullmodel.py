@@ -65,7 +65,8 @@ def _deploy_fn(module, batch, rng):
             "policy": policy_out, "decoded": decoded}
 
 
-@pytest.mark.parametrize("variant", ["flagship", "bev_frustum"])
+@pytest.mark.parametrize("variant", ["flagship", "bev_frustum",
+                                     "point_pillars"])
 def test_full_model_matches_reference(variant):
     from muvo_tpu.config import as_static, get_cfg
     from muvo_tpu.data.synthetic import synthetic_batch
@@ -87,6 +88,10 @@ def test_full_model_matches_reference(variant):
     if variant == "bev_frustum":
         # the frustum-pooled BEV token path (mile.py:36-59, 505-523)
         cfg.MODEL.TRANSFORMER.BEV = True
+    elif variant == "point_pillars":
+        # PointPillars LiDAR tokens (mile.py:62-78, 529-533) — exercises
+        # the swapped-axis decoration + flipped-x canvas quirks end to end
+        cfg.MODEL.LIDAR.POINT_PILLAR.ENABLED = True
 
     torch.manual_seed(0)
     ref = Mile(cfg).eval()
