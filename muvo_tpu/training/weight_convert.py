@@ -232,19 +232,25 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     large = bool(cfg.MODEL.TRANSFORMER.LARGE)
 
     _resnet_entries("encoder", ("encoder",), state, params, stats)
-    # the frustum-BEV branch always uses the top-down Decoder for
-    # feat_decoder, regardless of LARGE (mile.py:32-34)
-    feat_large = large or bool(cfg.MODEL.TRANSFORMER.BEV)
+    # the frustum-BEV branch and the no-transformer MILE-style branch both
+    # use the top-down Decoder for feat_decoder, regardless of LARGE
+    # (mile.py:32-34, 164)
+    feat_large = (large or bool(cfg.MODEL.TRANSFORMER.BEV)
+                  or not cfg.MODEL.TRANSFORMER.ENABLED)
     _decoder_ds("feat_decoder", ("feat_decoder",), state, params, stats,
                 feat_large)
+    # lidar decoders: DecoderT (LARGE-dependent) in the transformer branch
+    # (mile.py:78, 85), always the top-down Decoder in the no-transformer
+    # branch (mile.py:252, 259)
+    lidar_large = large or not cfg.MODEL.TRANSFORMER.ENABLED
     _resnet_entries("range_view_encoder", ("lidar_encoder",), state, params,
                     stats)
     _decoder_ds("range_view_decoder", ("lidar_decoder",), state, params, stats,
-                large)
+                lidar_large)
     _resnet_entries("point_pillar_encoder", ("lidar_encoder",), state, params,
                     stats)
     _decoder_ds("point_pillar_decoder", ("lidar_decoder",), state, params,
-                stats, large)
+                stats, lidar_large)
     # PointPillarNet point-net: Sequential(Linear, BN1d, ReLU) x2
     # (common.py:682-706) -> fc{i}/bn{i} with masked-stats BatchNorm
     for i, li in enumerate((0, 3)):

@@ -66,7 +66,7 @@ def _deploy_fn(module, batch, rng):
 
 
 @pytest.mark.parametrize("variant", ["flagship", "bev_frustum",
-                                     "point_pillars"])
+                                     "point_pillars", "mile_no_transformer"])
 def test_full_model_matches_reference(variant):
     from muvo_tpu.config import as_static, get_cfg
     from muvo_tpu.data.synthetic import synthetic_batch
@@ -92,6 +92,10 @@ def test_full_model_matches_reference(variant):
         # PointPillars LiDAR tokens (mile.py:62-78, 529-533) — exercises
         # the swapped-axis decoration + flipped-x canvas quirks end to end
         cfg.MODEL.LIDAR.POINT_PILLAR.ENABLED = True
+    elif variant == "mile_no_transformer":
+        # the MILE-original path: frustum lifting + backbone_bev fusion
+        # (mile.py:163-300, 616-682)
+        cfg.MODEL.TRANSFORMER.ENABLED = False
 
     torch.manual_seed(0)
     ref = Mile(cfg).eval()
