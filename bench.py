@@ -69,51 +69,19 @@ def _flops_of(jitted, *abstract_args) -> float:
 def main(n_steps: int = 12, warmup: int = 3, large: bool = False,
          batch_override: int = 0, remat: str = ""):
     import jax
-    import jax.numpy as jnp
 
-    from muvo_tpu.config import get_cfg
-    from muvo_tpu.data.synthetic import synthetic_batch
-    from muvo_tpu.parallel.mesh import make_mesh, shard_batch
-    from muvo_tpu.training.trainer import WorldModelTrainer
+    from muvo_tpu.training.flagship import build_flagship_step
 
-    cfg = get_cfg()
-    cfg.merge_from_file("muvo_tpu/configs/muvo.yml")
-    # 4 sequences per chip (24 frames) with decoder remat only: the folded
-    # voxel trunk freed enough HBM that encoder activations fit unremated
-    # (38.7 vs 38.5 f/s/chip with encoder remat; batch 6 full-remat fits
-    # too but is slower at 35.8).
-    cfg.BATCHSIZE = 4 * max(1, len(jax.devices()))
-    cfg.MODEL.REMAT = True
-    cfg.MODEL.REMAT_ENCODER = False
-    cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
-    if large:
-        # LARGE=True keeps stride-8 features: 5,184 fusion tokens/frame
-        # (reference mile.py:31-32, 546-557) through the Pallas flash
-        # attention path. One sequence per chip fits HBM.
-        cfg.MODEL.TRANSFORMER.LARGE = True
-        cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
-    if batch_override:
-        cfg.BATCHSIZE = batch_override * max(1, len(jax.devices()))
-    if remat:  # --remat=off|voxel|all[,enc] sweep override
-        opts = remat.split(",")
-        cfg.MODEL.REMAT = opts[0] != "off"
-        cfg.MODEL.REMAT_SCOPE = opts[0] if opts[0] != "off" else "all"
-        cfg.MODEL.REMAT_ENCODER = "enc" in opts
-
-    mesh = make_mesh()
-    trainer = WorldModelTrainer(cfg, mesh=mesh)
+    # Shared harness (also used by tools/profile_step.py and
+    # tools/hlo_dump.py so profiles/HLO match this benchmark exactly).
+    try:
+        fs = build_flagship_step(large=large, batch_override=batch_override,
+                                 remat=remat)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    cfg, state, train_step, sharded, rng, abstract = (
+        fs.cfg, fs.state, fs.train_step, fs.batch, fs.rng, fs.abstract)
     seq = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
-    batch = synthetic_batch(cfg, batch_size=cfg.BATCHSIZE, sequence_length=seq)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-
-    state = trainer.init_state(batch)
-    train_step = trainer.make_train_step(donate=True)
-    sharded = shard_batch(batch, mesh)
-    rng = jax.random.PRNGKey(0)
-
-    # abstract args for the cost-analysis lowering (state gets donated below)
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (state, sharded, rng))
 
     for _ in range(warmup):
         state, metrics = train_step(state, sharded, rng)
@@ -141,13 +109,16 @@ def main(n_steps: int = 12, warmup: int = 3, large: bool = False,
     # step if the extra compile fails
     import copy
 
+    from muvo_tpu.training.trainer import WorldModelTrainer
+
+    trainer = fs.trainer
     peak = _peak_flops_per_chip()
     if peak > 0:
         step_time = dt / n_steps
         no_remat_cfg = copy.deepcopy(cfg)
         no_remat_cfg.MODEL.REMAT = False
         no_remat_cfg.MODEL.REMAT_ENCODER = False
-        flops_trainer = WorldModelTrainer(no_remat_cfg, mesh=mesh)
+        flops_trainer = WorldModelTrainer(no_remat_cfg, mesh=trainer.mesh)
         flops_trainer._tx = trainer._tx
         model_flops = _flops_of(
             flops_trainer.make_train_step(donate=False).jitted, *abstract)

@@ -268,14 +268,23 @@ def upsample2x_trilinear_folded(x4, Z: int, C: int):
     return jax.image.resize(x4, (B, 2 * X, 2 * Y, 2 * ZC), method="linear")
 
 
-def downsample_nearest(x, factor: int):
-    """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC).
+def strided_downsample(x, factors):
+    """Strided-slice downsample over the trailing ``len(factors)`` axes.
 
-    lax.slice, not x[..., ::f, ::f, :]: the jnp multi-axis strided indexing
-    form lowers to a stablehlo.gather (see preprocess._nearest_resize)."""
+    Exact torch 'nearest' semantics for integer factors (index
+    floor(i*f) = i*f). Always lower through lax.slice: the jnp
+    x[..., ::f, ::f, :] multi-axis strided-indexing form lowers to a full
+    stablehlo.gather over every output element (measured ~2.5-6 ms/step on
+    the flagship label pyramids) while a strided slice is a plain
+    vectorised copy."""
     strides = [1] * x.ndim
-    strides[-3], strides[-2] = factor, factor
+    strides[x.ndim - len(factors):] = list(factors)
     return jax.lax.slice(x, [0] * x.ndim, x.shape, strides)
+
+
+def downsample_nearest(x, factor: int):
+    """Exact torch 'nearest' downsample for integer factors (NHWC or NSHWC)."""
+    return strided_downsample(x, (factor, factor, 1))
 
 
 def leaky_relu_torch(x, negative_slope=0.01):

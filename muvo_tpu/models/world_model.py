@@ -201,6 +201,10 @@ class MuvoWorldModel(nn.Module):
             remat_scope = str(cfg.MODEL.REMAT_SCOPE)
         except AttributeError:
             remat_scope = "all"
+        if remat_scope not in ("all", "voxel"):
+            raise ValueError(
+                f"MODEL.REMAT_SCOPE must be 'all' or 'voxel', got "
+                f"{remat_scope!r}")
         bev_cls, conv_cls, voxel_cls = BevDecoder, ConvDecoder, VoxelDecoder
         if use_remat:
             voxel_cls = nn.remat(VoxelDecoder)

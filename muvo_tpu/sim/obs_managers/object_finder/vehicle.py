@@ -105,10 +105,14 @@ class PedestrianObsManager(ObsManager):
     def _define_obs_space(self):
         super()._define_obs_space()
         n = self._max_detection_number
-        # reference pedestrian.py:45-52: sidewalk flag + waypoint ids
+        # reference pedestrian.py:45-52: sidewalk flag + waypoint ids.
+        # The reference declares Box(0, 5000, int8) — a bound old gym
+        # tolerated but gymnasium rejects (5000 > int8 max). The stored
+        # values wrap in int8 regardless, so clamp the declared bound to
+        # the dtype range while keeping the reference's int8 quirk.
         self.obs_space["on_sidewalk"] = gym.spaces.MultiBinary(n)
         self.obs_space["road_id"] = gym.spaces.Box(
-            0, 5000, (n, 1), np.int8)
+            0, 127, (n, 1), np.int8)
         self.obs_space["lane_id"] = gym.spaces.Box(
             -20, 20, (n, 1), np.int8)
 

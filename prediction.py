@@ -66,9 +66,11 @@ def main():
     for idx, sampler in enumerate(samplers):
         loader = DataLoader(test_ds, cfg.BATCHSIZE, shuffle=False,
                             sampler=sampler)
-        limit = getattr(cfg, "LIMIT_VAL_BATCHES", 0) or None
+        # Full test loader, no cap: the reference's prediction.py calls
+        # trainer.test() with no test-batch limit (its limit_val_batches=1
+        # is a Lightning FRACTION = 100%, and applies to val, not test).
         recon, imagine = evaluator.run(state, iter(loader),
-                                       max_batches=limit)
+                                       max_batches=None)
         results[f"test{idx}"] = recon
         results[f"test{idx}_imagine"] = imagine
         print(f"[test{idx}] recon: {recon}")

@@ -130,3 +130,17 @@ def test_remat_scope_voxel_matches_plain_forward(setup):
                                np.asarray(out["rgb_1"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rout["voxel_1"]),
                                np.asarray(out["voxel_1"]), atol=1e-5)
+
+
+def test_remat_scope_typo_raises(setup):
+    """An unknown REMAT_SCOPE must error at init, not silently degrade to
+    voxel-only remat (a batch-4 flagship run relying on scope='all' to fit
+    HBM would OOM with nothing pointing at the config value)."""
+    cfg, model, variables, pb, out, _ = setup
+    rcfg = tiny_test_cfg()
+    rcfg.MODEL.REMAT = True
+    rcfg.MODEL.REMAT_SCOPE = "decoder"
+    rmodel = MuvoWorldModel(as_static(rcfg))
+    with pytest.raises(ValueError, match="REMAT_SCOPE"):
+        rmodel.apply(variables, pb, training=False,
+                     rng=jax.random.PRNGKey(1))

@@ -24,38 +24,13 @@ setup_jax()
 
 def run_and_trace(trace_dir: str, large: bool = False, batch: int = 0):
     import jax
-    import jax.numpy as jnp
 
-    from muvo_tpu.config import get_cfg
-    from muvo_tpu.data.synthetic import synthetic_batch
-    from muvo_tpu.parallel.mesh import make_mesh, shard_batch
-    from muvo_tpu.training.trainer import WorldModelTrainer
+    from muvo_tpu.training.flagship import build_flagship_step
 
-    cfg = get_cfg()
-    cfg.merge_from_file(
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "muvo_tpu/configs/muvo.yml")
-    )
-    cfg.BATCHSIZE = 4 * max(1, len(jax.devices()))
-    cfg.MODEL.REMAT = True
-    cfg.MODEL.REMAT_ENCODER = False  # matches bench.py (38.8 f/s config)
-    cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = 1
-    if large:
-        cfg.MODEL.TRANSFORMER.LARGE = True
-        cfg.BATCHSIZE = 1 * max(1, len(jax.devices()))
-    if batch:
-        cfg.BATCHSIZE = batch * max(1, len(jax.devices()))
-
-    mesh = make_mesh()
-    trainer = WorldModelTrainer(cfg, mesh=mesh)
-    seq = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
-    batch = synthetic_batch(cfg, batch_size=cfg.BATCHSIZE, sequence_length=seq)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-
-    state = trainer.init_state(batch)
-    train_step = trainer.make_train_step(donate=True)
-    sharded = shard_batch(batch, mesh)
-    rng = jax.random.PRNGKey(0)
+    # Shared harness — guarantees the traced step is the exact bench.py
+    # configuration (batch size, remat scope, donation).
+    fs = build_flagship_step(large=large, batch_override=batch)
+    state, train_step, sharded, rng = fs.state, fs.train_step, fs.batch, fs.rng
 
     for _ in range(2):  # compile + warm
         state, metrics = train_step(state, sharded, rng)
