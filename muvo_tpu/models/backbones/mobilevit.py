@@ -1,27 +1,47 @@
-"""MobileViTv2 feature backbone (NHWC), timm `mobilevitv2_100`-compatible
-topology.
+"""MobileViTv2 feature backbone (NHWC) — faithful to timm `mobilevitv2_100`.
 
-Reference usage: muvo/models/mile.py:24-27 with
-cfg MODEL.ENCODER.NAME = 'mobilevitv2_100' (test_mobilevit_2d.yml). Feature
-schedule matches timm: channels (64, 128, 256, 384, 512) at reductions
-(2, 4, 8, 16, 32); width multiplier 1.0.
+Reference usage: the reference passes cfg names straight to
+``timm.create_model`` for the LiDAR range-view encoder (in_chans=4) and the
+BEV backbone (muvo/models/mile.py:81-85, 254-258, 269-275); the
+`test_mobilevit_2d.yml` baseline config selects 'mobilevitv2_100' for
+MODEL.ENCODER.NAME / MODEL.LIDAR.ENCODER / MODEL.BEV.BACKBONE.
+(Reference quirk: mile.py:23-27 only constructs the *image* encoder when
+NAME == 'resnet18', so the image-encoder mobilevit branch would NameError on
+`feature_info` in the reference as written; we build it generically.)
 
-Architecture per "Separable Self-attention for Mobile Vision Transformers"
-(arXiv:2206.02680): MobileNetV2 blocks for the early stages, MobileViTv2
-blocks (local conv -> unfold 2x2 patches -> linear-complexity separable
-self-attention transformer -> fold -> project) for the last three stages.
+Topology is timm's byobnet mobilevitv2 config ("Separable Self-attention for
+Mobile Vision Transformers", arXiv:2206.02680), width 1.0:
+
+    stem   Conv3x3 s2 -> 32, BN, SiLU
+    stage0 1x  InvertedResidual(64,  s1, exp 2)
+    stage1 2x  InvertedResidual(128, s2/s1)
+    stage2 IR(256, s2) + MobileViTv2Block(d=128, depth 2)
+    stage3 IR(384, s2) + MobileViTv2Block(d=192, depth 4)
+    stage4 IR(512, s2) + MobileViTv2Block(d=256, depth 3)
+
+feature channels (64, 128, 256, 384, 512) at reductions (2, 4, 8, 16, 32),
+matching timm features_only. All norms inside the transformer are
+GroupNorm(1) over the whole (C, P, N) token tensor (timm GroupNorm1 on the
+[B, C, P, N] layout) — NOT per-token LayerNorm. Parameter names mirror the
+timm module tree one-to-one so `training/weight_convert._mobilevit_entries`
+can map a timm state_dict directly (torch `stages.{i}.{j}` -> flax
+`s{i}b{j}`).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class ConvNormAct(nn.Module):
+    """timm ConvNormAct: conv (no bias) + BN + optional SiLU.
+
+    Submodules named `conv`/`bn` to match timm state_dict keys.
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
@@ -34,14 +54,17 @@ class ConvNormAct(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     (self.stride, self.stride),
                     padding=((pad, pad), (pad, pad)),
-                    feature_group_count=self.groups, use_bias=False)(x)
+                    feature_group_count=self.groups, use_bias=False,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, name="bn")(x)
         return nn.silu(x) if self.act else x
 
 
-class MV2Block(nn.Module):
-    """MobileNetV2 inverted residual, expansion 2 (MobileViTv2 default)."""
+class InvertedResidual(nn.Module):
+    """timm byobnet BottleneckBlock(bottle_in=True, linear_out=True, gs=1):
+    1x1 expand (SiLU) -> depthwise 3x3 (SiLU) -> 1x1 project (linear),
+    residual only at stride 1 with matching channels."""
 
     features: int
     stride: int = 1
@@ -51,52 +74,86 @@ class MV2Block(nn.Module):
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         hidden = c_in * self.expand
-        y = ConvNormAct(hidden, kernel=1)(x, train)
-        y = ConvNormAct(hidden, kernel=3, stride=self.stride, groups=hidden)(y, train)
-        y = ConvNormAct(self.features, kernel=1, act=False)(y, train)
+        y = ConvNormAct(hidden, kernel=1, name="conv1_1x1")(x, train)
+        y = ConvNormAct(hidden, kernel=3, stride=self.stride, groups=hidden,
+                        name="conv2_kxk")(y, train)
+        y = ConvNormAct(self.features, kernel=1, act=False,
+                        name="conv3_1x1")(y, train)
         if self.stride == 1 and c_in == self.features:
             y = y + x
         return y
 
 
-class LayerNorm2d(nn.Module):
-    """GroupNorm(1) over channels — mobilevit's conv-layout layer norm."""
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
+def GroupNorm1(name: str) -> nn.GroupNorm:
+    """timm GroupNorm1: GroupNorm(num_groups=1) — on the token tensor
+    (b, P, N, d) the statistics reduce over ALL of (P, N, d) per sample,
+    with per-channel (d) affine."""
+    return nn.GroupNorm(num_groups=1, epsilon=1e-5, name=name)
 
 
 class SeparableSelfAttention(nn.Module):
-    """Linear-complexity attention: softmax context scores over tokens."""
+    """timm LinearSelfAttention on tokens (..., N, d): a fused qkv projection
+    to (1 + 2d); softmax of the 1-d query scores over N; context = sum of
+    score-weighted keys; out = out_proj(relu(value) * context)."""
 
     dim: int
 
     @nn.compact
     def __call__(self, x):
-        # x: (..., N, d)
-        i = nn.Dense(1, name="to_i")(x)                       # (..., N, 1)
-        scores = jax.nn.softmax(i, axis=-2)
-        k = nn.Dense(self.dim, name="to_k")(x)                # (..., N, d)
-        context = jnp.sum(scores * k, axis=-2, keepdims=True)  # (..., 1, d)
-        v = nn.relu(nn.Dense(self.dim, name="to_v")(x))
-        return nn.Dense(self.dim, name="out")(v * context)
+        qkv = nn.Dense(1 + 2 * self.dim, name="qkv_proj")(x)
+        i = qkv[..., :1]
+        k = qkv[..., 1:1 + self.dim]
+        v = qkv[..., 1 + self.dim:]
+        scores = nn.softmax(i, axis=-2)
+        context = jnp.sum(scores * k, axis=-2, keepdims=True)
+        return nn.Dense(self.dim, name="out_proj")(nn.relu(v) * context)
 
 
 class LinearTransformerBlock(nn.Module):
+    """timm LinearTransformerBlock: prenorm attention + prenorm ConvMlp,
+    both normed by GroupNorm1 (joint (P, N, d) statistics)."""
+
     dim: int
-    ffn_mult: int = 2
+    ffn_mult: float = 2.0
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-5)(x)
-        x = x + SeparableSelfAttention(self.dim)(y)
-        y = nn.LayerNorm(epsilon=1e-5)(x)
-        y = nn.silu(nn.Dense(self.dim * self.ffn_mult)(y))
-        return x + nn.Dense(self.dim)(y)
+        x = x + SeparableSelfAttention(self.dim, name="attn")(
+            GroupNorm1(name="norm1")(x))
+        y = GroupNorm1(name="norm2")(x)
+        y = nn.silu(nn.Dense(int(self.dim * self.ffn_mult), name="fc1")(y))
+        return x + nn.Dense(self.dim, name="fc2")(y)
+
+
+def _resize_bilinear_align_corners(x, new_h: int, new_w: int):
+    """torch F.interpolate(mode='bilinear', align_corners=True) on NHWC.
+
+    Only reached when a feature map's H/W is not a multiple of the patch
+    size (timm resizes UP to the next multiple and does not resize back)."""
+    b, h, w, c = x.shape
+
+    def axis_weights(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            lo = jnp.zeros((n_out,), jnp.int32)
+            return lo, lo, jnp.zeros((n_out,), x.dtype)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        return lo, lo + 1, (pos - lo.astype(jnp.float32)).astype(x.dtype)
+
+    lo_h, hi_h, wh = axis_weights(h, new_h)
+    x = (x[:, lo_h] * (1 - wh)[None, :, None, None]
+         + x[:, hi_h] * wh[None, :, None, None])
+    lo_w, hi_w, ww = axis_weights(w, new_w)
+    return (x[:, :, lo_w] * (1 - ww)[None, None, :, None]
+            + x[:, :, hi_w] * ww[None, None, :, None])
 
 
 class MobileViTV2Block(nn.Module):
+    """timm MobileVitV2Block: depthwise local conv -> 1x1 to attention dim ->
+    unfold 2x2 patches -> linear transformer stack -> GroupNorm1 -> fold ->
+    1x1 projection back (linear). Non-divisible maps are bilinearly resized
+    UP (align_corners=True) and stay at the padded size, as in timm."""
+
     attn_dim: int
     depth: int
     patch: int = 2
@@ -104,31 +161,30 @@ class MobileViTV2Block(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        # local representation
-        y = ConvNormAct(c, kernel=3, groups=c)(x, train)
-        y = nn.Conv(self.attn_dim, (1, 1), use_bias=False)(y)
-
-        # unfold into (ph*pw) patch grids of tokens
-        b, h, w, d = y.shape
+        b, h, w, _ = x.shape
         p = self.patch
-        pad_h = (-h) % p
-        pad_w = (-w) % p
-        if pad_h or pad_w:
-            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        hh, ww = y.shape[1] // p, y.shape[2] // p
+        new_h = -(-h // p) * p
+        new_w = -(-w // p) * p
+        if (new_h, new_w) != (h, w):
+            x = _resize_bilinear_align_corners(x, new_h, new_w)
+
+        y = ConvNormAct(c, kernel=3, groups=c, name="conv_kxk")(x, train)
+        y = nn.Conv(self.attn_dim, (1, 1), use_bias=False, name="conv_1x1")(y)
+
+        d = self.attn_dim
+        hh, ww = new_h // p, new_w // p
+        # unfold: (b, hh, p, ww, p, d) -> (b, P=p*p, N=hh*ww, d); token
+        # ordering matches timm's [B, C, P, N] reshape/permute exactly
         tokens = y.reshape(b, hh, p, ww, p, d)
         tokens = tokens.transpose(0, 2, 4, 1, 3, 5).reshape(b, p * p, hh * ww, d)
 
         for i in range(self.depth):
-            tokens = LinearTransformerBlock(self.attn_dim, name=f"tf{i}")(tokens)
-        tokens = nn.LayerNorm(epsilon=1e-5)(tokens)
+            tokens = LinearTransformerBlock(d, name=f"tf{i}")(tokens)
+        tokens = GroupNorm1(name="norm")(tokens)
 
         y = tokens.reshape(b, p, p, hh, ww, d).transpose(0, 3, 1, 4, 2, 5)
-        y = y.reshape(b, hh * p, ww * p, d)
-        if pad_h or pad_w:
-            y = y[:, :h, :w]
-
-        return ConvNormAct(c, kernel=1, act=False)(y, train)
+        y = y.reshape(b, new_h, new_w, d)
+        return ConvNormAct(c, kernel=1, act=False, name="conv_proj")(y, train)
 
 
 class MobileViTV2Features(nn.Module):
@@ -149,11 +205,11 @@ class MobileViTV2Features(nn.Module):
         w = self.width
         feats = {}
         x = ConvNormAct(int(32 * w), kernel=3, stride=2, name="stem")(x, train)
-        x = MV2Block(int(64 * w), stride=1, name="stage0_0")(x, train)
+        x = InvertedResidual(int(64 * w), stride=1, name="s0b0")(x, train)
         feats[0] = x
 
-        x = MV2Block(int(128 * w), stride=2, name="stage1_0")(x, train)
-        x = MV2Block(int(128 * w), stride=1, name="stage1_1")(x, train)
+        x = InvertedResidual(int(128 * w), stride=2, name="s1b0")(x, train)
+        x = InvertedResidual(int(128 * w), stride=1, name="s1b1")(x, train)
         feats[1] = x
 
         for idx, (c_out, attn_dim, depth) in enumerate(
@@ -161,9 +217,10 @@ class MobileViTV2Features(nn.Module):
              (int(384 * w), int(192 * w), 4),
              (int(512 * w), int(256 * w), 3)]
         ):
-            x = MV2Block(c_out, stride=2, name=f"stage{idx + 2}_mv2")(x, train)
+            x = InvertedResidual(c_out, stride=2,
+                                 name=f"s{idx + 2}b0")(x, train)
             x = MobileViTV2Block(attn_dim, depth,
-                                 name=f"stage{idx + 2}_vit")(x, train)
+                                 name=f"s{idx + 2}b1")(x, train)
             feats[idx + 2] = x
 
         return [feats[i] for i in self.out_indices]

@@ -64,6 +64,79 @@ def _resnet_entries(src_prefix: str, dst_prefix: Tuple[str, ...], state, params,
             bn(f"{sp}.downsample.1", dp + ("downsample_bn",))
 
 
+def _mobilevit_entries(src_prefix: str, dst_prefix: Tuple[str, ...], state,
+                       params, stats):
+    """Map a timm mobilevitv2_100 features_only trunk (byobnet naming:
+    stem.conv/bn, stages.{i}.{j}.…) onto models/backbones/mobilevit.py's
+    tree (flax `s{i}b{j}`). Fused qkv / mlp 1x1 convs become Dense kernels;
+    GroupNorm weight/bias become scale/bias (no running stats)."""
+    def conv(src, dst, bias=False):
+        if f"{src}.weight" in state:
+            _set(params, dst + ("kernel",), _conv(state[f"{src}.weight"]))
+            if bias and f"{src}.bias" in state:
+                _set(params, dst + ("bias",), state[f"{src}.bias"])
+
+    def conv1x1_dense(src, dst):
+        if f"{src}.weight" in state:
+            _set(params, dst + ("kernel",), state[f"{src}.weight"][:, :, 0, 0].T)
+            if f"{src}.bias" in state:
+                _set(params, dst + ("bias",), state[f"{src}.bias"])
+
+    def bn(src, dst):
+        if f"{src}.weight" not in state:
+            return
+        _set(params, dst + ("scale",), state[f"{src}.weight"])
+        _set(params, dst + ("bias",), state[f"{src}.bias"])
+        _set(stats, dst + ("mean",), state[f"{src}.running_mean"])
+        _set(stats, dst + ("var",), state[f"{src}.running_var"])
+
+    def gn(src, dst):
+        if f"{src}.weight" not in state:
+            return
+        _set(params, dst + ("scale",), state[f"{src}.weight"])
+        _set(params, dst + ("bias",), state[f"{src}.bias"])
+
+    def cna(src, dst):  # ConvNormAct composite
+        conv(f"{src}.conv", dst + ("conv",))
+        bn(f"{src}.bn", dst + ("bn",))
+
+    if f"{src_prefix}.stem.conv.weight" not in state:
+        return
+    cna(f"{src_prefix}.stem", dst_prefix + ("stem",))
+    depths = {2: 2, 3: 4, 4: 3}
+    for i in range(5):
+        for j in range(2):
+            sp = f"{src_prefix}.stages.{i}.{j}"
+            dp = dst_prefix + (f"s{i}b{j}",)
+            if f"{sp}.conv1_1x1.conv.weight" in state:  # inverted residual
+                for part in ("conv1_1x1", "conv2_kxk", "conv3_1x1"):
+                    cna(f"{sp}.{part}", dp + (part,))
+            elif f"{sp}.conv_kxk.conv.weight" in state:  # mobilevit block
+                cna(f"{sp}.conv_kxk", dp + ("conv_kxk",))
+                conv(f"{sp}.conv_1x1", dp + ("conv_1x1",))
+                for k in range(depths[i]):
+                    tp = f"{sp}.transformer.{k}"
+                    tdp = dp + (f"tf{k}",)
+                    gn(f"{tp}.norm1", tdp + ("norm1",))
+                    conv1x1_dense(f"{tp}.attn.qkv_proj",
+                                  tdp + ("attn", "qkv_proj"))
+                    conv1x1_dense(f"{tp}.attn.out_proj",
+                                  tdp + ("attn", "out_proj"))
+                    gn(f"{tp}.norm2", tdp + ("norm2",))
+                    conv1x1_dense(f"{tp}.mlp.fc1", tdp + ("fc1",))
+                    conv1x1_dense(f"{tp}.mlp.fc2", tdp + ("fc2",))
+                gn(f"{sp}.norm", dp + ("norm",))
+                cna(f"{sp}.conv_proj", dp + ("conv_proj",))
+
+
+def _backbone_entries(src_prefix: str, dst_prefix: Tuple[str, ...], state,
+                      params, stats):
+    """Dispatch on what the checkpoint actually contains: timm resnet trunks
+    carry `{p}.conv1.weight`, mobilevitv2 trunks `{p}.stem.conv.weight`."""
+    _resnet_entries(src_prefix, dst_prefix, state, params, stats)
+    _mobilevit_entries(src_prefix, dst_prefix, state, params, stats)
+
+
 def _convbn(src_conv: str, src_bn: str, dst: Tuple[str, ...], state, params,
             stats):
     """ConvBN composite (Conv_0 + BatchNorm_0 inside)."""
@@ -231,7 +304,7 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     stats: Dict = {}
     large = bool(cfg.MODEL.TRANSFORMER.LARGE)
 
-    _resnet_entries("encoder", ("encoder",), state, params, stats)
+    _backbone_entries("encoder", ("encoder",), state, params, stats)
     # the frustum-BEV branch and the no-transformer MILE-style branch both
     # use the top-down Decoder for feat_decoder, regardless of LARGE
     # (mile.py:32-34, 164)
@@ -243,12 +316,12 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
     # (mile.py:78, 85), always the top-down Decoder in the no-transformer
     # branch (mile.py:252, 259)
     lidar_large = large or not cfg.MODEL.TRANSFORMER.ENABLED
-    _resnet_entries("range_view_encoder", ("lidar_encoder",), state, params,
-                    stats)
+    _backbone_entries("range_view_encoder", ("lidar_encoder",), state, params,
+                      stats)
     _decoder_ds("range_view_decoder", ("lidar_decoder",), state, params, stats,
                 lidar_large)
-    _resnet_entries("point_pillar_encoder", ("lidar_encoder",), state, params,
-                    stats)
+    _backbone_entries("point_pillar_encoder", ("lidar_encoder",), state, params,
+                      stats)
     _decoder_ds("point_pillar_decoder", ("lidar_decoder",), state, params,
                 stats, lidar_large)
     # PointPillarNet point-net: Sequential(Linear, BN1d, ReLU) x2
@@ -316,7 +389,7 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg):
                                                 "ResNetFeatures_0"),
                     state, params, stats)
     _dense("backbone_route.fc", ("backbone_route", "fc"), state, params)
-    _resnet_entries("backbone_bev", ("backbone_bev",), state, params, stats)
+    _backbone_entries("backbone_bev", ("backbone_bev",), state, params, stats)
 
     _dense("speed_enc.0", ("speed_enc", "Dense_0"), state, params)
     _dense("speed_enc.2", ("speed_enc", "Dense_1"), state, params)

@@ -128,12 +128,155 @@ def _make_timm_resnet18(in_chans=3, out_indices=(2, 3, 4)):
     return ResNet18Features()
 
 
+def _make_timm_mobilevitv2(in_chans=3, out_indices=(2, 3, 4), width=1.0):
+    """Faithful torch mobilevitv2_100 with timm's byobnet module naming
+    (stem.conv/bn, stages.{i}.{j}.{conv1_1x1,conv2_kxk,conv3_1x1}.conv/bn,
+    mobilevit blocks' conv_kxk/conv_1x1/transformer.{k}/norm/conv_proj) and
+    feature_info API. Matches timm's semantics exactly: SiLU everywhere,
+    GroupNorm(1) norms over the [B, C, P, N] token tensor, fused qkv 1x1
+    convs, softmax of the 1-d query scores over the patch axis N, residual
+    IR blocks only at stride 1, bilinear align_corners=True resize up to a
+    patch multiple (never resized back). Random init (pretrained weights are
+    not downloadable here; parity tests convert whatever the module holds)."""
+    import math
+
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class ConvNormAct(nn.Module):
+        def __init__(self, cin, cout, k=3, stride=1, groups=1, act=True):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride, (k - 1) // 2,
+                                  groups=groups, bias=False)
+            self.bn = nn.BatchNorm2d(cout)
+            self.act = nn.SiLU(inplace=True) if act else nn.Identity()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Bottleneck(nn.Module):  # byobnet 'bottle' w/ bottle_in, linear_out
+        def __init__(self, cin, cout, stride=1, exp=2):
+            super().__init__()
+            mid = cin * exp
+            self.conv1_1x1 = ConvNormAct(cin, mid, 1)
+            self.conv2_kxk = ConvNormAct(mid, mid, 3, stride, groups=mid)
+            self.conv3_1x1 = ConvNormAct(mid, cout, 1, act=False)
+            self.has_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.conv3_1x1(self.conv2_kxk(self.conv1_1x1(x)))
+            return x + y if self.has_res else y
+
+    class LinearSelfAttention(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dim = dim
+            self.qkv_proj = nn.Conv2d(dim, 1 + 2 * dim, 1, bias=True)
+            self.out_proj = nn.Conv2d(dim, dim, 1, bias=True)
+
+        def forward(self, x):  # x: [B, C, P, N]
+            qkv = self.qkv_proj(x)
+            q, k, v = qkv.split([1, self.dim, self.dim], dim=1)
+            scores = F.softmax(q, dim=-1)
+            ctx = (k * scores).sum(dim=-1, keepdim=True)
+            return self.out_proj(F.relu(v) * ctx.expand_as(v))
+
+    class ConvMlp(nn.Module):
+        def __init__(self, dim, mult=2.0):
+            super().__init__()
+            self.fc1 = nn.Conv2d(dim, int(dim * mult), 1, bias=True)
+            self.act = nn.SiLU(inplace=True)
+            self.fc2 = nn.Conv2d(int(dim * mult), dim, 1, bias=True)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class LinearTransformerBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.norm1 = nn.GroupNorm(1, dim, eps=1e-5)
+            self.attn = LinearSelfAttention(dim)
+            self.norm2 = nn.GroupNorm(1, dim, eps=1e-5)
+            self.mlp = ConvMlp(dim)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class MobileVitV2Block(nn.Module):
+        def __init__(self, chs, dim, depth, patch=2):
+            super().__init__()
+            self.patch = patch
+            self.conv_kxk = ConvNormAct(chs, chs, 3, groups=chs)
+            self.conv_1x1 = nn.Conv2d(chs, dim, 1, bias=False)
+            self.transformer = nn.Sequential(
+                *[LinearTransformerBlock(dim) for _ in range(depth)])
+            self.norm = nn.GroupNorm(1, dim, eps=1e-5)
+            self.conv_proj = ConvNormAct(dim, chs, 1, act=False)
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+            p = self.patch
+            nh, nw = math.ceil(H / p) * p, math.ceil(W / p) * p
+            n_h, n_w = nh // p, nw // p
+            if (nh, nw) != (H, W):
+                x = F.interpolate(x, size=(nh, nw), mode="bilinear",
+                                  align_corners=True)
+            x = self.conv_1x1(self.conv_kxk(x))
+            C = x.shape[1]
+            x = x.reshape(B, C, n_h, p, n_w, p).permute(0, 1, 3, 5, 2, 4)
+            x = x.reshape(B, C, p * p, n_h * n_w)
+            x = self.norm(self.transformer(x))
+            x = x.reshape(B, C, p, p, n_h, n_w).permute(0, 1, 4, 2, 5, 3)
+            x = x.reshape(B, C, nh, nw)
+            return self.conv_proj(x)
+
+    class MobileViTV2Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = width
+            chs = [int(c * w) for c in (64, 128, 256, 384, 512)]
+            self.stem = ConvNormAct(in_chans, int(32 * w), 3, stride=2)
+            self.stages = nn.Sequential(
+                nn.Sequential(Bottleneck(int(32 * w), chs[0], 1)),
+                nn.Sequential(Bottleneck(chs[0], chs[1], 2),
+                              Bottleneck(chs[1], chs[1], 1)),
+                nn.Sequential(Bottleneck(chs[1], chs[2], 2),
+                              MobileVitV2Block(chs[2], int(128 * w), 2)),
+                nn.Sequential(Bottleneck(chs[2], chs[3], 2),
+                              MobileVitV2Block(chs[3], int(192 * w), 4)),
+                nn.Sequential(Bottleneck(chs[3], chs[4], 2),
+                              MobileVitV2Block(chs[4], int(256 * w), 3)),
+            )
+            info = [{"num_chs": c, "reduction": r}
+                    for c, r in zip(chs, (2, 4, 8, 16, 32))]
+            self.feature_info = _FeatureInfo([info[i] for i in out_indices])
+
+        def forward(self, x):
+            x = self.stem(x)
+            feats = []
+            for stage in self.stages:
+                x = stage(x)
+                feats.append(x)
+            return [feats[i] for i in out_indices]
+
+    return MobileViTV2Features()
+
+
 def _timm_create_model(name, pretrained=False, features_only=False,
                        out_indices=(2, 3, 4), in_chans=3, **kwargs):
-    assert name == "resnet18", f"stub only provides resnet18, got {name}"
     assert features_only, "stub only provides the features_only form"
-    return _make_timm_resnet18(in_chans=in_chans,
-                               out_indices=tuple(out_indices))
+    # str() unwraps the parity tests' _EncName trick (a str subclass that
+    # compares equal to 'resnet18' to sidestep the reference's mile.py:23
+    # resnet18-only encoder guard while requesting mobilevit).
+    real = str(name)
+    if real == "resnet18":
+        return _make_timm_resnet18(in_chans=in_chans,
+                                   out_indices=tuple(out_indices))
+    if real == "mobilevitv2_100":
+        return _make_timm_mobilevitv2(in_chans=in_chans,
+                                      out_indices=tuple(out_indices))
+    raise AssertionError(f"stub only provides resnet18/mobilevitv2_100, got {name}")
 
 
 def install():
