@@ -480,11 +480,15 @@ class MuvoWorldModel(nn.Module):
     # ==================================================================
     def imagine(self, batch: Dict, predict_action: bool = False,
                 future_horizon: Optional[int] = None,
-                rng: Optional[jax.Array] = None) -> Dict:
+                rng: Optional[jax.Array] = None,
+                use_sample: bool = True) -> Dict:
         """Prior rollout from a given latent state (reference mile.py:771-850).
 
         batch: hidden_state (b, C_h), sample (b, C_s), and — unless
         predict_action — throttle_brake / steering (b, T, 1).
+        use_sample=False rolls the prior mean (deterministic; the reference
+        hardcodes use_sample=True at mile.py:790 — the knob exists for
+        cross-framework parity testing where torch/JAX noise can't match).
         """
         cfg = self.cfg
         assert cfg.MODEL.TRANSITION.ENABLED
@@ -509,8 +513,8 @@ class MuvoWorldModel(nn.Module):
             action_t, key = inp
             if predict_action:
                 action_t = self.policy(jnp.concatenate([h, smp], axis=-1))
-            prior = self.rssm.imagine_step(h, smp, action_t, use_sample=True,
-                                           rng=key)
+            prior = self.rssm.imagine_step(h, smp, action_t,
+                                           use_sample=use_sample, rng=key)
             out = {
                 "action": action_t,
                 "hidden": prior["hidden_state"],
