@@ -142,32 +142,40 @@ class Evaluator:
         self.rf = trainer.rf
         self.fh = trainer.fh
         self.n_samples = n_samples or self.cfg.PREDICTION.N_SAMPLES
-        self.eval_step = trainer.make_eval_step()
-        self._pre = jax.jit(lambda b: trainer.preprocess(b, training=False))
+        # encode-once / imagine-many split (reference trainer.py:234-247):
+        # the posterior forward + recon decoders run once per batch, only
+        # the prior rollout repeats per imagination sample
+        self.observe_step, self.imagine_step = trainer.make_eval_split_steps()
 
     def run(self, state, loader, max_batches: int = None):
         recon = MetricSuite(self.cfg)
         imagine = MetricSuite(self.cfg)
-        rng = jax.random.PRNGKey(7)
+        base_rng = jax.random.PRNGKey(7)
         from muvo_tpu.parallel.mesh import shard_batch
 
+        can_imagine = self.cfg.MODEL.TRANSITION.ENABLED and self.fh > 0
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}, self.trainer.mesh
             )
-            rng, step_rng = jax.random.split(rng)
-            pb = self._pre(batch)
+            # fold_in-derived keys keep batch i's observation rng independent
+            # of N_SAMPLES (recon metrics must not move with sample count)
+            step_rng, im_rng = jax.random.split(
+                jax.random.fold_in(base_rng, i))
+            obs = self.observe_step(state, batch, step_rng)
+            pb = obs["pb"]
             batch_rf = {k: v[:, : self.rf] for k, v in pb.items()}
             batch_fh = {k: v[:, self.rf:] for k, v in pb.items()}
             # N_SAMPLES independent imagination rollouts per batch
             # (reference trainer.py:244-247)
-            for _ in range(self.n_samples):
-                rng, sample_rng = jax.random.split(rng)
-                out = self.eval_step(state, batch, sample_rng)
-                if "output_imagine" in out and self.fh > 0:
+            if can_imagine:
+                for s in range(self.n_samples):
+                    sample_rng = jax.random.fold_in(im_rng, s)
+                    out = self.imagine_step(state, pb, obs["hidden_state"],
+                                            obs["sample"], sample_rng)
                     imagine.update(batch_fh, out["output_imagine"],
                                    rng=sample_rng)
-            recon.update(batch_rf, out["output"], rng=step_rng)
+            recon.update(batch_rf, obs["output"], rng=step_rng)
         return recon.compute(), imagine.compute()

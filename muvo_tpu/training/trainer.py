@@ -223,3 +223,68 @@ class WorldModelTrainer:
                           replicated(self.mesh)),
         ))
         return self._eval_step
+
+    def make_eval_split_steps(self):
+        """Encode-once / imagine-many eval, mirroring the reference's test
+        protocol (muvo/trainer.py:234-247): the posterior observation,
+        reconstruction losses and decoders run ONCE per batch; only the
+        FUTURE_HORIZON prior rollout + its losses re-run per imagination
+        sample. Returns (observe_step, imagine_step), both jitted.
+
+        observe_step(state, raw_batch, rng) -> {pb, losses, output,
+            hidden_state?, sample?}  — pb is the preprocessed batch, reused
+            by the caller for metric labels and passed back to imagine_step.
+        imagine_step(state, pb, hidden_state, sample, rng) ->
+            {losses_imagine, output_imagine}.
+        """
+
+        def observe_step(state: TrainState, batch: Dict, rng) -> Dict:
+            pb = self.preprocess(batch, training=False)
+            variables = {"params": cast_floating(state.params, self.compute_dtype),
+                         "batch_stats": state.batch_stats}
+            cpb = cast_floating(pb, self.compute_dtype)
+            batch_rf = {k: v[:, : self.rf] for k, v in pb.items()}
+            crf = {k: v[:, : self.rf] for k, v in cpb.items()}
+            output, state_dict = self.model.apply(
+                variables, crf, training=False, rng=rng
+            )
+            output = cast_floating(output, jnp.float32)
+            out = {"pb": pb,
+                   "losses": compute_loss(self.cfg, batch_rf, output),
+                   "output": output}
+            if self.cfg.MODEL.TRANSITION.ENABLED and self.fh > 0:
+                out["hidden_state"] = (
+                    state_dict["posterior"]["hidden_state"][:, -1])
+                out["sample"] = state_dict["posterior"]["sample"][:, -1]
+            return out
+
+        def imagine_step(state: TrainState, pb: Dict, hidden_state, sample,
+                         rng) -> Dict:
+            variables = {"params": cast_floating(state.params, self.compute_dtype),
+                         "batch_stats": state.batch_stats}
+            cpb = cast_floating(pb, self.compute_dtype)
+            batch_fh = {k: v[:, self.rf:] for k, v in pb.items()}
+            imagine_batch = {
+                "hidden_state": hidden_state,
+                "sample": sample,
+                "throttle_brake": cpb["throttle_brake"][:, self.rf:],
+                "steering": cpb["steering"][:, self.rf:],
+            }
+            output_imagine = self.model.apply(
+                variables, imagine_batch, predict_action=False,
+                future_horizon=self.fh, rng=rng, method=self.model.imagine,
+            )
+            output_imagine = cast_floating(output_imagine, jnp.float32)
+            return {
+                "losses_imagine": compute_loss(self.cfg, batch_fh,
+                                               output_imagine),
+                "output_imagine": output_imagine,
+            }
+
+        observe = self._with_mesh(jax.jit(
+            observe_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh),
+                          replicated(self.mesh)),
+        ))
+        imagine = self._with_mesh(jax.jit(imagine_step))
+        return observe, imagine
