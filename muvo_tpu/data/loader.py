@@ -3,6 +3,14 @@
 The host pipeline decodes frames (PNG/npy + range projection) in background
 threads while the device computes the previous step, and lands batches
 pre-sharded across the mesh 'data' axis.
+
+Multi-host: in a multi-process job (SURVEY §5.8; the slot the reference
+fills with DDP at train.py:93-112) every process runs the SAME deterministic
+(seed, epoch) global shuffle, loads only its contiguous slice of each
+global batch (process p of P takes samples [p·B/P, (p+1)·B/P)), and
+`shard_batch` assembles the per-host arrays into one global jax.Array via
+`jax.make_array_from_process_local_data`. batch_size is always the GLOBAL
+batch size.
 """
 
 from __future__ import annotations
@@ -14,7 +22,14 @@ from typing import Dict, Iterator, Optional
 import jax
 import numpy as np
 
-from muvo_tpu.parallel.mesh import batch_sharding
+from muvo_tpu.parallel.mesh import shard_batch
+
+
+def _process_info():
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:  # before backend init (pure-host unit tests)
+        return 0, 1
 
 
 class DataLoader:
@@ -22,7 +37,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  sampler=None, seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 0):
+                 num_workers: int = 0, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,6 +47,13 @@ class DataLoader:
         self.epoch = 0
         self.drop_last = drop_last
         self.num_workers = num_workers
+        pi, pc = _process_info()
+        self.process_index = pi if process_index is None else process_index
+        self.process_count = pc if process_count is None else process_count
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch size {batch_size} not divisible by "
+                f"process_count {self.process_count}")
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -61,11 +84,26 @@ class DataLoader:
             yield from self._iter_threaded(indices, n_batches, start_batch)
             return
         for b in range(start_batch, n_batches):
-            chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+            chunk = self._local_chunk(indices, b)
+            if chunk is None:
                 break
             items = [self.dataset[i] for i in chunk]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def _local_chunk(self, indices, b):
+        """This process's contiguous slice of global batch `b` (None once
+        the epoch's last ragged batch is dropped). Contiguous (not strided)
+        so host h's samples land on host h's devices in the process-major
+        mesh device order. A ragged final batch is always dropped in
+        multi-process mode (uneven per-host shards can't assemble into one
+        global array)."""
+        chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+        if len(chunk) < self.batch_size and (self.drop_last or
+                                             self.process_count > 1):
+            return None
+        local = -(-len(chunk) // self.process_count)
+        lo = self.process_index * local
+        return chunk[lo:lo + local]
 
     def _iter_threaded(self, indices, n_batches, start_batch: int = 0):
         """N decode threads (PIL/ctypes release the GIL) feeding an ordered
@@ -78,8 +116,8 @@ class DataLoader:
 
         batches = []
         for b in range(start_batch, n_batches):
-            chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+            chunk = self._local_chunk(indices, b)
+            if chunk is None:
                 break
             batches.append((len(batches), chunk))  # consumer keys are 0-based
         for item in batches:
@@ -119,13 +157,14 @@ class DataLoader:
 
 
 def device_prefetch(iterator, mesh, size: int = 2):
-    """Move batches to device (sharded over 'data') ahead of compute."""
-    sharding = batch_sharding(mesh)
+    """Move batches to device (sharded over 'data') ahead of compute.
+
+    Single-process: a plain sharded device_put. Multi-process: each host
+    holds only its local slice, assembled into global arrays by shard_batch
+    (make_array_from_process_local_data)."""
     buf = []
     for batch in iterator:
-        buf.append(jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), batch
-        ))
+        buf.append(shard_batch(batch, mesh))
         if len(buf) >= size:
             yield buf.pop(0)
     while buf:

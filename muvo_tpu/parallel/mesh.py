@@ -44,8 +44,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Device-put a host batch with the batch dim sharded over 'data'."""
+    """Form a global batch sharded over 'data' from this host's data.
+
+    Single-process: a plain sharded device_put of the full batch.
+    Multi-process: `batch` holds only this host's contiguous slice of the
+    global batch (see data/loader.py) and
+    `jax.make_array_from_process_local_data` assembles the global array —
+    the TPU-native replacement for the reference's per-rank DDP loaders
+    (reference train.py:93-112)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
