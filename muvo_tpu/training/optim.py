@@ -8,6 +8,8 @@ final_div_factor 1e4), optax.MultiSteps for ACCUMULATE_GRAD_BATCHES.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import optax
 
@@ -16,8 +18,12 @@ def make_schedule(cfg):
     if cfg.SCHEDULER.NAME == "none":
         return cfg.OPTIMIZER.LR
     if cfg.SCHEDULER.NAME == "OneCycleLR":
+        # optax's onecycle divides by the warmup span pct_start*steps;
+        # below one step that is NaN for EVERY step — only reachable in
+        # tiny-STEPS smoke runs, where the tail shape doesn't matter.
+        steps = max(cfg.STEPS, math.ceil(1.0 / cfg.SCHEDULER.PCT_START))
         return optax.cosine_onecycle_schedule(
-            transition_steps=cfg.STEPS,
+            transition_steps=steps,
             peak_value=cfg.OPTIMIZER.LR,
             pct_start=cfg.SCHEDULER.PCT_START,
             div_factor=25.0,
