@@ -107,12 +107,27 @@ class DataLoader:
 
     def _iter_threaded(self, indices, n_batches, start_batch: int = 0):
         """N decode threads (PIL/ctypes release the GIL) feeding an ordered
-        output queue so batch order stays deterministic."""
+        output queue so batch order stays deterministic.
+
+        Backpressure is load-bearing: decoded batches are 100s of MB and
+        the threads outpace a device-bound consumer, so at most
+        ``2*n_workers + 2`` decoded batches may be in flight (decoding or
+        parked in ``results``) — without the semaphore the results dict
+        grows with the decode/consume rate gap (the r4 health-run train
+        job's host RSS reached 122 GB after ~1600 steps and the kernel
+        OOM-killed it). The semaphore is acquired before a decode starts
+        and released when the consumer pops the batch. An abandoned
+        iterator (e.g. an eval capped at max_batches) sets ``stop`` in its
+        ``finally`` so the workers exit instead of decoding the rest of
+        the epoch into memory."""
         n_workers = max(1, self.num_workers)
         task_q: "queue.Queue" = queue.Queue()
         results: dict = {}
         results_lock = threading.Lock()
         results_ready = threading.Condition(results_lock)
+        max_ahead = 2 * n_workers + 2
+        inflight = threading.Semaphore(max_ahead)
+        stop = threading.Event()
 
         batches = []
         for b in range(start_batch, n_batches):
@@ -131,6 +146,11 @@ class DataLoader:
                 if task is None:
                     break
                 b, chunk = task
+                while not inflight.acquire(timeout=1.0):
+                    if stop.is_set():
+                        return
+                if stop.is_set():
+                    return
                 try:
                     items = [self.dataset[i] for i in chunk]
                     batch = {k: np.stack([it[k] for it in items])
@@ -146,14 +166,18 @@ class DataLoader:
         for t in threads:
             t.start()
 
-        for b in range(len(batches)):
-            with results_ready:
-                while b not in results:
-                    results_ready.wait()
-                batch = results.pop(b)
-            if isinstance(batch, Exception):
-                raise batch
-            yield batch
+        try:
+            for b in range(len(batches)):
+                with results_ready:
+                    while b not in results:
+                        results_ready.wait()
+                    batch = results.pop(b)
+                inflight.release()
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
 
 
 def device_prefetch(iterator, mesh, size: int = 2):

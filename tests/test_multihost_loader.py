@@ -83,3 +83,65 @@ def test_sampler_respected_per_process():
 def test_indivisible_global_batch_rejected():
     with pytest.raises(ValueError):
         DataLoader(_Ds(8), 6, process_index=0, process_count=4)
+
+
+class _CountingDs(_Ds):
+    """Counts decoded items so the test can observe decode-ahead."""
+
+    def __init__(self, n):
+        super().__init__(n)
+        import threading
+
+        self.decoded = 0
+        self._lock = threading.Lock()
+
+    def __getitem__(self, i):
+        with self._lock:
+            self.decoded += 1
+        return super().__getitem__(i)
+
+
+def test_threaded_prefetch_is_bounded_and_ordered():
+    """Regression: without backpressure the decode threads raced the
+    consumer and parked every decoded batch in memory (the r4 health train
+    run's host RSS hit 122 GB before the kernel OOM-killed it). In-flight
+    decoded batches must stay <= 2*n_workers + 2 regardless of how slow
+    the consumer is, and order must be preserved."""
+    import time
+
+    ds = _CountingDs(64)
+    bs, workers = 4, 2
+    loader = DataLoader(ds, batch_size=bs, shuffle=False,
+                        num_workers=workers)
+    max_ahead = 2 * workers + 2
+    seen = []
+    for k, batch in enumerate(iter(loader)):
+        time.sleep(0.02)  # slow consumer: decoders would race ahead
+        # decoded items may exceed consumed items only by the in-flight
+        # window (+1 batch: the semaphore is released before the yield)
+        assert ds.decoded <= (k + 1 + max_ahead + 1) * bs, (
+            f"decode-ahead unbounded: {ds.decoded} items decoded "
+            f"after {k + 1} batches consumed")
+        seen.extend(batch["i"].tolist())
+    assert seen == list(range(64))
+
+
+def test_threaded_iterator_abandonment_stops_decoding():
+    """An iterator dropped after a few batches (evaluator's max_batches
+    cap) must stop its decode threads instead of decoding the rest of the
+    epoch into the parked-results dict."""
+    import gc
+    import time
+
+    ds = _CountingDs(256)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    it = iter(loader)
+    for _ in range(3):
+        next(it)
+    it.close()  # what GC of an abandoned generator does
+    gc.collect()
+    time.sleep(1.5)  # workers poll the stop flag at 1s granularity
+    decoded_after_close = ds.decoded
+    time.sleep(1.5)
+    assert ds.decoded == decoded_after_close, "decoding continued after close"
+    assert ds.decoded <= (3 + 2 * 2 + 2 + 1) * 4
