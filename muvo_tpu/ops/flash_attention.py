@@ -28,8 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 512  # 512x512 blocks: larger MXU operands and 4x fewer
-_BLOCK_K = 512  # online-softmax rescales than 256 (measured faster on v5e)
+import os as _os
+
+# 512x512 blocks: larger MXU operands and 4x fewer online-softmax rescales
+# than 256 (measured faster on v5e). Env-overridable for block sweeps.
+_BLOCK_Q = int(_os.environ.get("MUVO_FLASH_BLOCK_Q", "512"))
+_BLOCK_K = int(_os.environ.get("MUVO_FLASH_BLOCK_K", "512"))
 _LANE = 128
 _NEG_INF = -1e30
 
