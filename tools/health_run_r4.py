@@ -124,7 +124,8 @@ def voxelize(dataroot: str, cfg):
 
 
 def evaluate(dataroot: str, ckpt_dir: str, random_init: bool, batches: int,
-             out_json: str, batch_size: int = 2):
+             out_json: str, batch_size: int = 2, accum: int = 16,
+             step: int = None):
     from muvo_tpu.data.dataset import CarlaDataset
     from muvo_tpu.data.loader import DataLoader
     from muvo_tpu.parallel.mesh import make_mesh
@@ -135,6 +136,9 @@ def evaluate(dataroot: str, ckpt_dir: str, random_init: bool, batches: int,
     cfg.BATCHSIZE = batch_size
     cfg.MODEL.REMAT = True
     cfg.MODEL.REMAT_ENCODER = False
+    # the optimizer-state TEMPLATE must match how the checkpoint was
+    # trained (MultiSteps wraps opt_state when accum > 1)
+    cfg.OPTIMIZER.ACCUMULATE_GRAD_BATCHES = accum
     mesh = make_mesh()
     trainer = WorldModelTrainer(cfg, mesh=mesh)
     seq = cfg.RECEPTIVE_FIELD + cfg.FUTURE_HORIZON
@@ -149,7 +153,8 @@ def evaluate(dataroot: str, ckpt_dir: str, random_init: bool, batches: int,
         from muvo_tpu.training.checkpoint import CheckpointManager
         from muvo_tpu.training.trainer import TrainState
 
-        restored = CheckpointManager(ckpt_dir).restore(template=state)
+        restored = CheckpointManager(ckpt_dir).restore(step=step,
+                                                       template=state)
         assert restored is not None, f"no checkpoint under {ckpt_dir}"
         state = TrainState(**restored["state"])
         print(f"restored checkpoint step {int(state.step)}", flush=True)
@@ -184,6 +189,8 @@ def main():
     e.add_argument("--random-init", action="store_true")
     e.add_argument("--batches", type=int, default=16)
     e.add_argument("--batch-size", type=int, default=2)
+    e.add_argument("--accum", type=int, default=16)
+    e.add_argument("--step", type=int, default=None)
     e.add_argument("--out", default="eval.json")
 
     args = ap.parse_args()
@@ -196,7 +203,7 @@ def main():
         voxelize(args.dataroot, flagship_cfg(args.dataroot))
     else:
         evaluate(args.dataroot, args.ckpt, args.random_init, args.batches,
-                 args.out, args.batch_size)
+                 args.out, args.batch_size, args.accum, args.step)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,18 @@ def main():
 
             if step % cfg.LOGGING_INTERVAL == 0 or step <= 2:
                 scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                if os.environ.get("MUVO_MEMDEBUG"):
+                    # host-leak triage: RSS vs Python-visible ndarray bytes
+                    # (diverging RSS with flat ndarray bytes = leak below
+                    # Python, e.g. the device client's transfer buffers)
+                    import gc
+
+                    nd = sum(a.nbytes for a in gc.get_objects()
+                             if isinstance(a, np.ndarray))
+                    rss = [l for l in open("/proc/self/status")
+                           if l.startswith("VmRSS")][0].split()[1]
+                    print(f"  memdebug step {step}: rss={int(rss) / 1e6:.2f}GB "
+                          f"ndarrays={nd / 1e9:.2f}GB")
                 scalars["fps_per_chip"] = timer.frames_per_second(
                     frames_per_step, jax.device_count()
                 )
