@@ -46,6 +46,23 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _d_pad(d):
+    """Kernel head-dim width. Default: zero-pad to the 128-lane tile.
+    MUVO_FLASH_DPAD=off keeps d logical (e.g. 32): Mosaic issues the
+    qk^T/dp dots with the true contraction k=d instead of a 4x zero-padded
+    k=128, and the pv/dq/dk/dv dots with true n=d output lanes."""
+    if _os.environ.get("MUVO_FLASH_DPAD", "on") == "off":
+        return max(32, _round_up(d, 32))
+    return max(_LANE, _round_up(d, _LANE))
+
+
+def _row_to(x, width):
+    """Adapt a lane-replicated (rows, _LANE) stat to `width` lanes."""
+    if width >= _LANE:
+        return jnp.tile(x, (1, width // _LANE))
+    return x[:, :width]
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -85,8 +102,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     l_next = alpha * l_prev + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
 
-    d_rep = acc_ref.shape[-1] // _LANE
-    acc_ref[...] = acc_ref[...] * jnp.tile(alpha, (1, d_rep)) + \
+    d_width = acc_ref.shape[-1]
+    acc_ref[...] = acc_ref[...] * _row_to(alpha, d_width) + \
         jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -96,7 +113,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / jnp.tile(l_ref[...], (1, d_rep))).astype(
+        o_ref[0] = (acc_ref[...] / _row_to(l_ref[...], d_width)).astype(
             o_ref.dtype)
         lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])  # (block_q, _LANE)
 
@@ -106,7 +123,7 @@ def _flash_fwd(q, k, v, block_q, block_k):
     bh, n, d = q.shape  # batch*heads fused into dim 0
     scale = 1.0 / (d ** 0.5)
 
-    d_pad = max(_LANE, _round_up(d, _LANE))
+    d_pad = _d_pad(d)
     nq_pad = _round_up(n, block_q)
     nk_pad = _round_up(n, block_k)
 
@@ -328,7 +345,7 @@ def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k):
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
 
-    d_pad = max(_LANE, _round_up(d, _LANE))
+    d_pad = _d_pad(d)
     nq_pad = _round_up(n, block_q)
     nk_pad = _round_up(n, block_k)
 
@@ -391,7 +408,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     bh, n, d = q.shape
     scale = 1.0 / (d ** 0.5)
 
-    d_pad = max(_LANE, _round_up(d, _LANE))
+    d_pad = _d_pad(d)
     nq_pad = _round_up(n, block_q)
     nk_pad = _round_up(n, block_k)
 

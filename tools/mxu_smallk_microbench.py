@@ -25,12 +25,16 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def bench(f, *args, iters=50):
-    out = f(*args)
+def bench(f, a, b, iters=50):
+    # output feeds the next input: identical repeated executions are served
+    # from a result cache by the axon client (3x-over-peak "throughput"
+    # otherwise) — chaining forces every iteration to execute
+    k = a.shape[1]
+    out = f(a, b)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
+        out = f(out[:, :k].astype(a.dtype), b)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -42,7 +46,7 @@ def main():
     for k in (32, 64, 128, 256):
         a = jax.random.normal(key, (m, k), jnp.bfloat16)
         b = jax.random.normal(key, (k, n), jnp.bfloat16)
-        f = jax.jit(lambda a, b: jax.lax.dot_general(
+        f = jax.jit(lambda a, b: jax.lax.dot_general(  # noqa: B023
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         t = bench(f, a, b)
