@@ -1,12 +1,20 @@
 """In-kernel Mosaic timing for the flash-attention block shapes at
 d_head=32 vs the zero-padded d=128 form.
 
-tools/mxu_smallk_microbench.py showed XLA-level k=32 dots run ~3.6x faster
-than k=128 on this chip (t32/t128 = 0.28) — so the flash kernels' host-side
-jnp.pad of d 32->128 (ops/flash_attention.py) forces 4x-padded MXU work
-that the hardware does NOT require. This bench checks the same inside a
-Pallas kernel: an attention-shaped inner loop (s = q k^T then o = p v) per
-grid step, with d=32 blocks vs d=128 blocks.
+Measurement notes (hard-won on the axon tunnel — r5):
+  * A persistent result cache serves value-identical repeated executions
+    (executable + input values), so naive repeat loops AND output-feedback
+    chains that saturate to inf both read as multiples of the chip's bf16
+    peak (r4 recorded 1134/4560 "TF/s").
+  * `block_until_ready` on an un-fetched result of an INDEPENDENT call
+    returns in ~25 us regardless of the kernel's size — it does not wait
+    for remote execution — and a host fetch pays a ~30 ms tunnel RTT,
+    swamping sub-ms kernels.
+  * The reliable pattern: chain ITERS kernel executions ON DEVICE inside
+    one jit (lax.scan feeding the normalized output back as q, so every
+    iteration depends on the previous and values stay finite), fetch one
+    element, and difference two chain lengths to cancel the RTT and the
+    per-call overhead.
 
 Run on the real chip: python tools/pallas_smalld_microbench.py
 """
@@ -24,6 +32,7 @@ setup_jax()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
@@ -73,33 +82,59 @@ def build(d, bh, n):
             ),
         )(q, k, v)
 
-    return jax.jit(run)
+    return run
 
 
-def bench(f, q, k, v, iters=20):
-    # feed the output back as q: identical repeated executions are served
-    # from a result cache by the axon client (measured: 20 identical calls
-    # "ran" at 1167 TF/s, 3x the chip's bf16 peak) — chaining forces every
-    # iteration to execute
-    out = f(q, k, v)
-    jax.block_until_ready(out)
+def build_chain(d, bh, n, iters):
+    run = build(d, bh, n)
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(qc, _):
+            o = run(qc, k, v)
+            # normalize so the chain never saturates (finite, distinct
+            # values each iteration -> no result-cache hit, real dataflow
+            # dependency -> device executes every link)
+            qn = (o / jnp.maximum(jnp.max(jnp.abs(o)), 1e-6)).astype(q.dtype)
+            return qn, ()
+        qf, _ = jax.lax.scan(body, q, None, length=iters)
+        return qf
+
+    return chained
+
+
+_SEQ = iter(range(10_000))
+
+
+def timed_fetch(f, key, bh, n, d, k, v):
+    # fresh q per call: even whole-chain results get served from the value
+    # cache when the full argument tuple repeats
+    q = jax.random.normal(jax.random.fold_in(key, 17 + next(_SEQ)),
+                          (bh, n, d), jnp.bfloat16)
+    jax.block_until_ready(q)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(out.astype(q.dtype), k, v)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    out = f(q, k, v)
+    np.asarray(out[0, 0, :4])  # force the round-trip
+    return time.perf_counter() - t0
 
 
 def main():
     bh, n = 16, 5632  # LARGE-path shape (batch 2 x 8 heads, padded tokens)
     key = jax.random.PRNGKey(0)
+    short, long = 32, 160
     ts = {}
     for d in (32, 128):
-        q = jax.random.normal(key, (bh, n, d), jnp.bfloat16)
-        k = jax.random.normal(key, (bh, n, d), jnp.bfloat16)
-        v = jax.random.normal(key, (bh, n, d), jnp.bfloat16)
-        f = build(d, bh, n)
-        t = bench(f, q, k, v)
+        k = jax.random.normal(jax.random.fold_in(key, d + 1), (bh, n, d),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.fold_in(key, d + 2), (bh, n, d),
+                              jnp.bfloat16)
+        fs = build_chain(d, bh, n, short)
+        fl = build_chain(d, bh, n, long)
+        timed_fetch(fs, key, bh, n, d, k, v)  # warmup/compile
+        timed_fetch(fl, key, bh, n, d, k, v)
+        t_s = min(timed_fetch(fs, key, bh, n, d, k, v) for _ in range(3))
+        t_l = min(timed_fetch(fl, key, bh, n, d, k, v) for _ in range(3))
+        t = (t_l - t_s) / (long - short)  # per-kernel, RTT cancelled
         ts[d] = t
         # useful = s (2 n^2 d) + pv (2 n^2 d) per bh
         tf = 4 * bh * n * n * d / t / 1e12
