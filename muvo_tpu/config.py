@@ -241,6 +241,14 @@ def _build_defaults() -> CfgNode:
     c.DATASET = CfgNode()
     c.DATASET.DATAROOT = ""
     c.DATASET.VERSION = "trainval"
+    # decoded-tensor frame cache (muvo_tpu extension; the slot the reference
+    # fills with a multiprocess DataLoader worker pool, reference
+    # train.py:70-76 + data/dataset.py:212-369). "": off; "auto": cache under
+    # <DATAROOT>/_frame_cache; any other value: explicit cache directory.
+    # Each frame is decoded once into per-run memory-mapped arrays; training
+    # then streams them with near-zero host CPU (the one-core host otherwise
+    # PNG-decodes ~9x slower than the TPU step).
+    c.DATASET.FRAME_CACHE = ""
     c.DATASET.STRIDE_SEC = 0.2
     c.DATASET.FILTER_BEGINNING_OF_RUN_SEC = 1.0
     c.DATASET.FILTER_NORM_REWARD = 0.6

@@ -269,4 +269,12 @@ class SyntheticDataset:
 def make_dataset(cfg, mode: str, sequence_length: int):
     if cfg.DATASET.DATAROOT == "synthetic":
         return SyntheticDataset(cfg, sequence_length)
+    if cfg.DATASET.FRAME_CACHE:
+        from muvo_tpu.data.frame_cache import CachedCarlaDataset
+
+        cache_dir = (None if cfg.DATASET.FRAME_CACHE == "auto"
+                     else os.path.join(cfg.DATASET.FRAME_CACHE, mode))
+        return CachedCarlaDataset(cfg, mode=mode,
+                                  sequence_length=sequence_length,
+                                  cache_dir=cache_dir)
     return CarlaDataset(cfg, mode=mode, sequence_length=sequence_length)

@@ -57,7 +57,12 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # Multi-process always drops the ragged final batch (_local_chunk:
+        # uneven per-host shards can't assemble into one global array), so
+        # len() must use drop-last semantics there even with drop_last=False.
+        if self.drop_last or self.process_count > 1:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
         """Select the deterministic shuffle for this epoch (resume support:

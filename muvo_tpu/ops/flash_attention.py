@@ -32,8 +32,18 @@ import os as _os
 
 # 512x512 blocks: larger MXU operands and 4x fewer online-softmax rescales
 # than 256 (measured faster on v5e). Env-overridable for block sweeps.
-_BLOCK_Q = int(_os.environ.get("MUVO_FLASH_BLOCK_Q", "512"))
-_BLOCK_K = int(_os.environ.get("MUVO_FLASH_BLOCK_K", "512"))
+def _block_env(name, default):
+    val = int(_os.environ.get(name, default))
+    if val < 128 or val % 128:
+        raise ValueError(
+            f"{name}={val}: flash block sizes must be multiples of 128 and "
+            f">= 128 (the kernels tile lane-replicated stats in 128-lane "
+            f"units: rep = block_k // 128)")
+    return val
+
+
+_BLOCK_Q = _block_env("MUVO_FLASH_BLOCK_Q", "512")
+_BLOCK_K = _block_env("MUVO_FLASH_BLOCK_K", "512")
 _LANE = 128
 _NEG_INF = -1e30
 
@@ -531,6 +541,14 @@ def _flash_vjp_fwd(q, k, v):
     return out.reshape(q.shape), (q, k, v, out.reshape(q.shape), lse)
 
 
+# The fused backward holds a FULL-SEQUENCE (nq_pad, d_pad) fp32 dq
+# accumulator in VMEM (~2.9 MB at n=5184, d_pad=128); it scales linearly
+# with n and would crowd out the block operands on much longer sequences.
+# Beyond this budget fall back to the two-kernel scheme, which streams dq
+# per block (block-sized scratch only).
+_FUSED_DQ_VMEM_BUDGET = 8 * 1024 * 1024  # bytes; ~n<=16k at d_pad=128
+
+
 def _flash_vjp_bwd(res, g):
     import os
 
@@ -539,8 +557,10 @@ def _flash_vjp_bwd(res, g):
     bq, bk = _blocks(n)
     # fused one-pass kernel by default; MUVO_FLASH_FUSED_BWD=off restores
     # the two-kernel (dq then dkv) scheme
-    bwd = _flash_bwd if os.environ.get(
-        "MUVO_FLASH_FUSED_BWD", "on") == "off" else _flash_bwd_fused
+    dq_scratch = _round_up(n, bq) * _d_pad(q.shape[-1]) * 4
+    use_fused = (os.environ.get("MUVO_FLASH_FUSED_BWD", "on") != "off"
+                 and dq_scratch <= _FUSED_DQ_VMEM_BUDGET)
+    bwd = _flash_bwd_fused if use_fused else _flash_bwd
     dq, dk, dv = bwd(
         _flatten(q), _flatten(k), _flatten(v), _flatten(o), lse,
         _flatten(g.astype(q.dtype)), bq, bk)

@@ -95,6 +95,69 @@ def test_roundtrip(tmp_path):
     assert np.isclose(item["steering"][0, 0], 0.1)
 
 
+def test_frame_cache_roundtrip(tmp_path):
+    """CachedCarlaDataset serves byte-identical items to the decode path,
+    builds once, and rebuilds when the decode fingerprint changes."""
+    import muvo_tpu.data.frame_cache as fc
+
+    cfg = tiny_test_cfg()
+    cfg.VOXEL_SEG.ENABLED = False
+    cfg.SEMANTIC_SEG.ENABLED = False
+    cfg.DATASET.FILTER_BEGINNING_OF_RUN_SEC = 0.0
+    cfg.DATASET.FILTER_NORM_REWARD = 0.6
+
+    run_dir = tmp_path / "trainval" / "train" / "Town01" / "0000"
+    writer = write_episode(str(run_dir), 8)
+    assert writer.close({"traffic_rule_violated": False, "blocked": False,
+                         "route_deviation": False}, remove_final_steps=True)
+
+    plain = CarlaDataset(cfg, mode="train", sequence_length=2,
+                         dataset_root=str(tmp_path))
+    cache_dir = str(tmp_path / "cache")
+    cached = fc.CachedCarlaDataset(cfg, mode="train", sequence_length=2,
+                                   dataset_root=str(tmp_path),
+                                   cache_dir=cache_dir)
+    assert len(cached) == len(plain)
+    for i in (0, len(plain) - 1):
+        a, b = plain[i], cached[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            assert a[k].dtype == b[k].dtype, k
+
+    # second construction must NOT rebuild (meta fingerprint matches)
+    def _boom(*a, **k):
+        raise AssertionError("cache rebuilt despite matching fingerprint")
+
+    orig_build = fc.build_run_cache
+    fc.build_run_cache = _boom
+    try:
+        again = fc.CachedCarlaDataset(cfg, mode="train", sequence_length=2,
+                                      dataset_root=str(tmp_path),
+                                      cache_dir=cache_dir)
+        np.testing.assert_array_equal(again[0]["image"], plain[0]["image"])
+    finally:
+        fc.build_run_cache = orig_build
+
+    # a decode-relevant config change must invalidate the cache
+    cfg2 = tiny_test_cfg()
+    cfg2.VOXEL_SEG.ENABLED = False
+    cfg2.SEMANTIC_SEG.ENABLED = False
+    cfg2.DATASET.FILTER_BEGINNING_OF_RUN_SEC = 0.0
+    cfg2.DATASET.FILTER_NORM_REWARD = 0.6
+    cfg2.LOSSES.RGB_INSTANCE = not cfg.LOSSES.RGB_INSTANCE
+    rebuilt = []
+    fc.build_run_cache = lambda *a, **k: (rebuilt.append(1),
+                                          orig_build(*a, **k))[1]
+    try:
+        fc.CachedCarlaDataset(cfg2, mode="train", sequence_length=2,
+                              dataset_root=str(tmp_path),
+                              cache_dir=cache_dir)
+    finally:
+        fc.build_run_cache = orig_build
+    assert rebuilt
+
+
 def test_invalid_episode_trimming(tmp_path):
     run_dir = tmp_path / "run"
     writer = write_episode(str(run_dir), 5)

@@ -188,6 +188,35 @@ def test_flash_attention_backward_large_tokens():
     _flash_grad_check(1, 1, 5184, 64, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("dpad", ["on", "off"])
+def test_flash_attention_d32_shipped_head_dim(monkeypatch, dpad):
+    """d_head=32 is the ONLY head dim the LARGE model runs (8 heads x 512
+    channels, reference mile.py:96-101) — cover it in both d-padding modes
+    (MUVO_FLASH_DPAD=off keeps the MXU contraction at the true k=32).
+    Ragged n exercises the tail mask; fused one-pass backward (default)."""
+    monkeypatch.setenv("MUVO_FLASH_DPAD", dpad)
+    _flash_grad_check(1, 2, 300, 32, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dpad", ["on", "off"])
+def test_flash_attention_d32_two_kernel_bwd(monkeypatch, dpad):
+    """Same d=32 coverage for the two-kernel (dq then dkv) backward — the
+    automatic fallback path when the fused dq accumulator would exceed its
+    VMEM budget."""
+    monkeypatch.setenv("MUVO_FLASH_DPAD", dpad)
+    monkeypatch.setenv("MUVO_FLASH_FUSED_BWD", "off")
+    _flash_grad_check(1, 1, 512, 32, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_fused_bwd_vmem_fallback(monkeypatch):
+    """Past the dq-scratch VMEM budget the vjp must route to the streaming
+    two-kernel backward and still be correct."""
+    import muvo_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_FUSED_DQ_VMEM_BUDGET", 1)  # force fallback
+    _flash_grad_check(1, 1, 300, 32, rtol=2e-3, atol=2e-3)
+
+
 def test_mha_dispatch():
     b, n, c = 2, 36, 32
     q = jnp.asarray(rng.randn(b, n, c), jnp.float32)

@@ -90,13 +90,10 @@ def collect(dataroot: str, n_episodes: int = 1, steps: int = 40):
 
 
 def voxelize(dataroot: str, cfg):
-    from tools.generate_voxels import process_run
+    from tools.generate_voxels import process_run, voxel_offset_from_cfg
     from glob import glob
 
-    offset = [-float(cfg.VOXEL.EV_POSITION[0]) * cfg.VOXEL.RESOLUTION,
-              -float(cfg.VOXEL.EV_POSITION[1]) * cfg.VOXEL.RESOLUTION
-              + cfg.VOXEL.SIZE[1] * cfg.VOXEL.RESOLUTION / 2 * 0,
-              -float(cfg.VOXEL.EV_POSITION[2]) * cfg.VOXEL.RESOLUTION]
+    offset = voxel_offset_from_cfg(cfg.VOXEL)
     for run in sorted(glob(os.path.join(dataroot, "trainval", "train", "*",
                                         "*"))):
         process_run(run, fov=110, resolution=cfg.VOXEL.RESOLUTION,

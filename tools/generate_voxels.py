@@ -39,6 +39,17 @@ CAMERA_POS = (1.0, 0.0, 2.0)
 LIDAR_POS = (1.0, 0.0, 2.0)
 
 
+def voxel_offset_from_cfg(voxel_cfg):
+    """Grid origin (metres) so the ego lands at VOXEL.EV_POSITION.
+
+    offset = -EV_POSITION * RESOLUTION on every axis. No extra half-extent
+    correction is needed on y (or any axis): EV_POSITION is the ego's voxel
+    INDEX within the grid, so it already encodes the centring (e.g. the
+    reference's muvo.yml puts EV_POSITION[1] at SIZE[1]/2)."""
+    return [-float(voxel_cfg.EV_POSITION[i]) * voxel_cfg.RESOLUTION
+            for i in range(3)]
+
+
 def voxelize_one(args, fov, resolution, size, offset):
     run_path, idx, depth_file, lidar_file = args
     from PIL import Image

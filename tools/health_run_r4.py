@@ -108,14 +108,11 @@ def collect(dataroot: str, split: str, episodes: int, steps: int,
 def voxelize(dataroot: str, cfg):
     from glob import glob
 
-    from tools.generate_voxels import process_run
+    from tools.generate_voxels import process_run, voxel_offset_from_cfg
 
     # same offset formula the e2e pipeline uses (matches the dataset's
     # voxel decode alignment)
-    offset = [-float(cfg.VOXEL.EV_POSITION[0]) * cfg.VOXEL.RESOLUTION,
-              -float(cfg.VOXEL.EV_POSITION[1]) * cfg.VOXEL.RESOLUTION
-              + cfg.VOXEL.SIZE[1] * cfg.VOXEL.RESOLUTION / 2 * 0,
-              -float(cfg.VOXEL.EV_POSITION[2]) * cfg.VOXEL.RESOLUTION]
+    offset = voxel_offset_from_cfg(cfg.VOXEL)
     runs = sorted(glob(os.path.join(dataroot, "trainval", "*", "*", "*")))
     for i, run in enumerate(runs):
         process_run(run, fov=110, resolution=cfg.VOXEL.RESOLUTION,
