@@ -262,7 +262,10 @@ def upsample2x_trilinear_folded(x4, Z: int, C: int):
     W = (U.T[:, None, :, None]
          * jnp.eye(C, dtype=jnp.float32)[None, :, None, :])
     W = W.reshape(ZC, 2 * ZC).astype(x4.dtype)
-    x4 = x4 @ W  # z-interp on the lanes
+    # z-interp on the lanes, flattened to a 2-D GEMM: rank-4 (..., ZC) dots
+    # lower through a batch-in-sublanes conv emitter far below peak (see
+    # stylegan._PointwiseConv)
+    x4 = (x4.reshape(-1, ZC) @ W).reshape(B, X, Y, 2 * ZC)
     # x/y via XLA's resize on the folded 4-D (lanes untouched) — its
     # lowering beats hand-written interleaves on TPU
     return jax.image.resize(x4, (B, 2 * X, 2 * Y, 2 * ZC), method="linear")

@@ -246,15 +246,24 @@ class SegmentationHead(nn.Module):
 
 
 class _PointwiseConv(nn.Module):
-    """1x1(x1) conv as an einsum over the channel axis.
+    """1x1(x1) conv as a FLATTENED 2-D matmul over the channel axis.
 
     For 3-D tensors XLA's conv path chose a minor-batch layout with >10x
-    padding on the gradient; the einsum form keeps channels minor. Parameter
-    shape matches nn.Conv's 1x1(x1) kernel so weight conversion is unchanged.
+    padding on the gradient; and a rank-N (..., C)·(C, D) dot goes through
+    a batch-in-sublanes convolution emitter at a fraction of peak (the
+    flagship rgb head_1 measured 17.7 ms/step fwd ≈ 46 GB/s effective), so
+    the input is flattened to (rows, C) — a free row-major bitcast — for a
+    native 2-D GEMM. Parameter shape matches nn.Conv's 1x1(x1) kernel so
+    weight conversion is unchanged.
     """
 
     features: int
     spatial_rank: int
+
+    def _matmul(self, x, w, bias):
+        shape = x.shape
+        y = x.reshape(-1, shape[-1]) @ w + bias
+        return y.reshape(shape[:-1] + (w.shape[-1],))
 
     @nn.compact
     def __call__(self, x, folded_zc=None, parity_groups: int = 0):
@@ -272,7 +281,7 @@ class _PointwiseConv(nn.Module):
             bd = (jnp.eye(g, dtype=x.dtype)[:, None, :, None]
                   * wk[None, :, None, :]).reshape(g * c_in,
                                                   g * self.features)
-            return x @ bd + jnp.tile(bias.astype(x.dtype), (g,))
+            return self._matmul(x, bd, jnp.tile(bias.astype(x.dtype), (g,)))
         if folded_zc is not None:
             # z-folded input: block-diagonal matmul over the lanes
             Z, C = folded_zc
@@ -285,14 +294,14 @@ class _PointwiseConv(nn.Module):
             bd = (jnp.eye(Z, dtype=x.dtype)[:, None, :, None]
                   * wk[None, :, None, :]).reshape(Z * C, Z * self.features)
             bias4 = jnp.tile(bias.astype(x.dtype), (Z,))
-            return x @ bd + bias4
+            return self._matmul(x, bd, bias4)
         c_in = x.shape[-1]
         kshape = (1,) * self.spatial_rank + (c_in, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         w = kernel.reshape(c_in, self.features).astype(x.dtype)
-        return jnp.einsum("...c,cd->...d", x, w) + bias.astype(x.dtype)
+        return self._matmul(x, w, bias.astype(x.dtype))
 
 
 class _SingleConvHead(nn.Module):

@@ -28,12 +28,25 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, N, C)
+    def __call__(self, x, train: bool = False,
+                 seq_len: Optional[int] = None):
+        # x: (B, N, C); seq_len = true token count when N is pre-padded to
+        # a flash block multiple (pad-once-through-the-stack).
+        #
+        # Every Dense/LN/residual here is row-local, so the layer runs on a
+        # flattened (B*N, C) view and restores (B, N, C) only for the
+        # attention: XLA lowers a rank-3 (B, N, K)·(K, M) dot through a
+        # batch-in-sublanes convolution emitter at ~17% MFU (measured on
+        # the 5,184-token LARGE step: linear2 alone 67 ms/step), while the
+        # equivalent flattened 2-D GEMM uses the native dot emitter. The
+        # reshapes are free bitcasts (row-major).
+        b, n, c = x.shape
+        x = x.reshape(b * n, c)
         qkv = nn.Dense(3 * self.d_model, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = multi_head_attention(q, k, v, self.n_heads)
-        attn = nn.Dense(self.d_model, name="out_proj")(attn)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3 * self.d_model), 3, axis=-1)
+        attn = multi_head_attention(q, k, v, self.n_heads, seq_len=seq_len)
+        attn = nn.Dense(self.d_model, name="out_proj")(
+            attn.reshape(b * n, self.d_model))
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
 
@@ -41,7 +54,8 @@ class TransformerEncoderLayer(nn.Module):
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         ff = nn.Dense(self.d_model, name="linear2")(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
+        return out.reshape(b, n, c)
 
 
 class TransformerEncoder(nn.Module):
@@ -52,10 +66,11 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 seq_len: Optional[int] = None):
         for i in range(self.n_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
                 name=f"layer{i}",
-            )(x, train)
+            )(x, train, seq_len=seq_len)
         return x

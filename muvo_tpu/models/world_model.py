@@ -314,7 +314,27 @@ class MuvoWorldModel(nn.Module):
             from muvo_tpu.parallel.sharding import constrain
 
             tokens = constrain(tokens, ("data", None, "model"))
-            tokens = self.transformer(tokens, train)
+            # Pad ONCE to the flash block multiple and run all layers at the
+            # padded length (true seq_len masks pad keys inside the kernel;
+            # pad rows carry finite junk, sliced off below). The per-layer
+            # pad/slice pairs the kernels would otherwise emit cost ~20
+            # ms/step at 5,184 LARGE tokens (12 pads + 12 slices over the
+            # (B, N, 512) token tensor, fwd+bwd).
+            n_tok = tokens.shape[1]
+            n_run = n_tok
+            from muvo_tpu.ops.attention import _FLASH_MIN_TOKENS, _on_tpu
+
+            if n_tok >= _FLASH_MIN_TOKENS and _on_tpu():
+                from muvo_tpu.ops.flash_attention import padded_len
+
+                n_run = padded_len(n_tok)
+            if n_run != n_tok:
+                tokens = jnp.pad(tokens,
+                                 ((0, 0), (0, n_run - n_tok), (0, 0)))
+                tokens = self.transformer(tokens, train, seq_len=n_tok)
+                tokens = tokens[:, :n_tok]
+            else:
+                tokens = self.transformer(tokens, train)
             tokens = constrain(tokens, ("data", None, "model"))
             image_out = tokens[:, : h_i * w_i].reshape(-1, h_i, w_i, tf_c)
             lidar_out = tokens[:, h_i * w_i:].reshape(-1, h_l, w_l, tf_c)

@@ -24,11 +24,17 @@ def _on_tpu() -> bool:
         return False
 
 
-def multi_head_attention(q, k, v, n_heads: int, use_flash: bool | None = None):
+def multi_head_attention(q, k, v, n_heads: int, use_flash: bool | None = None,
+                         seq_len: int | None = None):
     """Batched MHA. q, k, v: (B, N, C) with C divisible by n_heads.
 
     Returns (B, N, C). Scaling 1/sqrt(head_dim), no masking (the fusion
     transformer is fully bidirectional).
+
+    seq_len: true token count when N is pre-padded to a flash block
+    multiple (pad-once-through-the-stack; see flash_attention.padded_len).
+    Keys beyond seq_len are masked exactly; pad-row outputs are junk the
+    caller slices off.
     """
     b, n, c = q.shape
     hd = c // n_heads
@@ -44,13 +50,16 @@ def multi_head_attention(q, k, v, n_heads: int, use_flash: bool | None = None):
 
         out = flash_attention(
             qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
-            vh.transpose(0, 2, 1, 3),
+            vh.transpose(0, 2, 1, 3), seq_len=seq_len,
         ).transpose(0, 2, 1, 3)
         return out.reshape(b, n, c)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(hd))
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32) * scale
+    if seq_len is not None and seq_len < n:
+        mask = jnp.arange(n) < seq_len
+        logits = jnp.where(mask[None, None, None, :], logits, -1e30)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
     return out.reshape(b, n, c)

@@ -109,13 +109,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     m_next = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_next)
     p = jnp.exp(s - jnp.tile(m_next, (1, s.shape[-1] // _LANE)))
-    l_next = alpha * l_prev + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+    p_cast = p.astype(v.dtype)
+
+    # The kernel is VPU-bound (exp + reductions) with the MXU well under
+    # half busy, so the row-sum of p rides the MXU for free: p_cast · 1
+    # yields the (block_q, _LANE) lane-replicated layout the stats want
+    # directly (the jnp.sum form costs a big VPU reduce AND a cross-lane
+    # broadcast). Numerics: the sum sees p in v.dtype — the same values the
+    # pv matmul consumes — so o = (p·v) / l stays self-consistent.
+    ones = jnp.ones((s.shape[-1], _LANE), v.dtype)
+    l_cur = jax.lax.dot_general(
+        p_cast, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    l_next = alpha * l_prev + l_cur
 
     d_width = acc_ref.shape[-1]
     acc_ref[...] = acc_ref[...] * _row_to(alpha, d_width) + \
         jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_cast, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     m_ref[...] = m_next
@@ -128,9 +139,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])  # (block_q, _LANE)
 
 
-def _flash_fwd(q, k, v, block_q, block_k):
-    """Returns (out (bh, n, d), lse (bh, n) fp32)."""
+def _flash_fwd(q, k, v, block_q, block_k, seq_len=None):
+    """Returns (out (bh, n, d), lse (bh, n) fp32).
+
+    seq_len: true token count when the caller pre-padded n to a block
+    multiple (pad-once-through-the-stack, see world_model fusion); keys at
+    positions >= seq_len are masked. Pad QUERY rows yield finite junk the
+    caller slices off (q rows are row-local through softmax)."""
     bh, n, d = q.shape  # batch*heads fused into dim 0
+    if seq_len is None:
+        seq_len = n
     scale = 1.0 / (d ** 0.5)
 
     d_pad = _d_pad(d)
@@ -147,7 +165,7 @@ def _flash_fwd(q, k, v, block_q, block_k):
     grid = (bh, nq_pad // block_q, nk_pad // block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, seq_len=n, block_k=block_k),
+        functools.partial(_flash_kernel, seq_len=seq_len, block_k=block_k),
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((bh, nq_pad, _LANE), jnp.float32),
@@ -350,9 +368,11 @@ def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k):
+def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k, seq_len=None):
     """Single-kernel backward (dq + dk + dv). Inputs as _flash_bwd."""
     bh, n, d = q.shape
+    if seq_len is None:
+        seq_len = n
     scale = 1.0 / (d ** 0.5)
 
     d_pad = _d_pad(d)
@@ -379,7 +399,8 @@ def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k):
     dq_spec = pl.BlockSpec((1, nq_pad, d_pad), lambda b, j, i: (b, 0, 0))
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_fused_kernel, scale=scale, seq_len=n,
+        functools.partial(_flash_bwd_fused_kernel, scale=scale,
+                          seq_len=seq_len,
                           block_q=block_q, block_k=block_k),
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
@@ -413,9 +434,11 @@ def _flash_bwd_fused(q, k, v, o, lse, do, block_q, block_k):
     return dq[:, :n, :d], dk[:, :n, :d], dv[:, :n, :d]
 
 
-def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
+def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, seq_len=None):
     """Flash backward; all inputs (bh, n, d) except lse (bh, n) fp32."""
     bh, n, d = q.shape
+    if seq_len is None:
+        seq_len = n
     scale = 1.0 / (d ** 0.5)
 
     d_pad = _d_pad(d)
@@ -443,7 +466,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     row_spec = pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=n,
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=seq_len,
                           block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d_pad), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -472,7 +495,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k):
     row_spec2 = pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0))
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, seq_len=n,
+        functools.partial(_flash_bwd_dkv_kernel, seq_len=seq_len,
                           block_k=block_k),
         out_shape=[
             jax.ShapeDtypeStruct((bh, nk_pad, d_pad), k.dtype),
@@ -526,18 +549,20 @@ def _flatten(x):
     return x.reshape((bh,) + x.shape[2:])
 
 
-@jax.custom_vjp
-def _flash(q, k, v):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, seq_len):
     n = q.shape[2]
     bq, bk = _blocks(n)
-    out, _ = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk)
+    out, _ = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk,
+                        seq_len=seq_len)
     return out.reshape(q.shape)
 
 
-def _flash_vjp_fwd(q, k, v):
+def _flash_vjp_fwd(q, k, v, seq_len):
     n = q.shape[2]
     bq, bk = _blocks(n)
-    out, lse = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk)
+    out, lse = _flash_fwd(_flatten(q), _flatten(k), _flatten(v), bq, bk,
+                          seq_len=seq_len)
     return out.reshape(q.shape), (q, k, v, out.reshape(q.shape), lse)
 
 
@@ -549,7 +574,7 @@ def _flash_vjp_fwd(q, k, v):
 _FUSED_DQ_VMEM_BUDGET = 8 * 1024 * 1024  # bytes; ~n<=16k at d_pad=128
 
 
-def _flash_vjp_bwd(res, g):
+def _flash_vjp_bwd(seq_len, res, g):
     import os
 
     q, k, v, o, lse = res
@@ -563,14 +588,30 @@ def _flash_vjp_bwd(res, g):
     bwd = _flash_bwd_fused if use_fused else _flash_bwd
     dq, dk, dv = bwd(
         _flatten(q), _flatten(k), _flatten(v), _flatten(o), lse,
-        _flatten(g.astype(q.dtype)), bq, bk)
+        _flatten(g.astype(q.dtype)), bq, bk, seq_len=seq_len)
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def flash_attention(q, k, v):
-    """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
+def padded_len(n: int) -> int:
+    """Token count the flash kernels pad `n` to. Callers running several
+    attention layers back-to-back should pad ONCE to this length and pass
+    the true `seq_len` down (pad-once-through-the-stack) — the per-layer
+    jnp.pad/slice pairs around each kernel otherwise cost real HBM passes
+    (measured ~20 ms/step on the LARGE fusion transformer)."""
+    import math
+
+    bq, bk = _blocks(n)
+    return _round_up(n, math.lcm(bq, bk))
+
+
+def flash_attention(q, k, v, seq_len: int | None = None):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D).
+
+    seq_len: true token count when N is pre-padded to a block multiple
+    (see padded_len). Keys/values beyond seq_len are masked out exactly;
+    outputs at pad rows are finite junk for the caller to discard."""
     assert q.shape == k.shape == v.shape
-    return _flash(q, k, v)
+    return _flash(q, k, v, seq_len)
