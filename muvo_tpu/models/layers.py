@@ -262,10 +262,12 @@ def upsample2x_trilinear_folded(x4, Z: int, C: int):
     W = (U.T[:, None, :, None]
          * jnp.eye(C, dtype=jnp.float32)[None, :, None, :])
     W = W.reshape(ZC, 2 * ZC).astype(x4.dtype)
-    # z-interp on the lanes, flattened to a 2-D GEMM: rank-4 (..., ZC) dots
-    # lower through a batch-in-sublanes conv emitter far below peak (see
-    # stylegan._PointwiseConv)
-    x4 = (x4.reshape(-1, ZC) @ W).reshape(B, X, Y, 2 * ZC)
+    # z-interp on the lanes. Keep the rank-4 dot: flattening to a 2-D GEMM
+    # (reshape(-1, ZC) @ W) was tried in r5 and REGRESSED the flagship step
+    # (+8 ms/step voxel_decoder fwd) — the reshape boundary blocks fusion
+    # with the surrounding elementwise ops, costing more than the
+    # batch-in-sublanes emitter inefficiency at these shapes.
+    x4 = x4 @ W
     # x/y via XLA's resize on the folded 4-D (lanes untouched) — its
     # lowering beats hand-written interleaves on TPU
     return jax.image.resize(x4, (B, 2 * X, 2 * Y, 2 * ZC), method="linear")

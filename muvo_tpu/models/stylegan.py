@@ -246,24 +246,26 @@ class SegmentationHead(nn.Module):
 
 
 class _PointwiseConv(nn.Module):
-    """1x1(x1) conv as a FLATTENED 2-D matmul over the channel axis.
+    """1x1(x1) conv as an einsum over the channel axis.
 
     For 3-D tensors XLA's conv path chose a minor-batch layout with >10x
-    padding on the gradient; and a rank-N (..., C)·(C, D) dot goes through
-    a batch-in-sublanes convolution emitter at a fraction of peak (the
-    flagship rgb head_1 measured 17.7 ms/step fwd ≈ 46 GB/s effective), so
-    the input is flattened to (rows, C) — a free row-major bitcast — for a
-    native 2-D GEMM. Parameter shape matches nn.Conv's 1x1(x1) kernel so
-    weight conversion is unchanged.
+    padding on the gradient; the einsum form keeps channels minor. Parameter
+    shape matches nn.Conv's 1x1(x1) kernel so weight conversion is unchanged.
+
+    NOTE (r5, measured): flattening the input to (rows, C) for a native 2-D
+    GEMM was tried and REGRESSED the flagship step (rgb_decoder +4 ms,
+    voxel_decoder +8 ms, decode backward +9 ms per step) — the reshape
+    boundaries block XLA's fusion of the surrounding AdaIN/elu elementwise
+    work, and the extra HBM round-trips cost more than the rank-N
+    batch-in-sublanes emitter inefficiency. Keep the rank-N dots here; the
+    flatten only pays at LARGE transformer shapes (see transformer.py).
     """
 
     features: int
     spatial_rank: int
 
     def _matmul(self, x, w, bias):
-        shape = x.shape
-        y = x.reshape(-1, shape[-1]) @ w + bias
-        return y.reshape(shape[:-1] + (w.shape[-1],))
+        return x @ w + bias
 
     @nn.compact
     def __call__(self, x, folded_zc=None, parity_groups: int = 0):

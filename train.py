@@ -34,6 +34,13 @@ def main():
     args = get_parser().parse_args()
     cfg = get_cfg(args)
 
+    # glibc arena bloat from the threaded decode workers leaked ~65 MB
+    # RSS/step in the r4 health runs (flat ndarray bytes, growing RSS —
+    # see utils/hostmem.py); cap arenas BEFORE any loader thread spawns
+    from muvo_tpu.utils.hostmem import cap_malloc_arenas, trim_host_heap
+
+    cap_malloc_arenas(2)
+
     run_name = time.strftime("%d%B%Yat%H_%M_%S") + "_" + socket.gethostname() + \
         "_" + cfg.TAG.replace(" ", "_").replace(",", "")[:48]
     log_dir = os.path.join(cfg.LOG_DIR, run_name)
@@ -128,19 +135,27 @@ def main():
                 print(f"profiler trace saved to {log_dir}/profile")
 
             if step % cfg.LOGGING_INTERVAL == 0 or step <= 2:
+                # bound RSS: return glibc free-list pages to the OS (µs-ms;
+                # the leak signature and root cause are in utils/hostmem.py)
+                trim_host_heap()
                 scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 if os.environ.get("MUVO_MEMDEBUG"):
                     # host-leak triage: RSS vs Python-visible ndarray bytes
-                    # (diverging RSS with flat ndarray bytes = leak below
-                    # Python, e.g. the device client's transfer buffers)
+                    # vs jax-client-held arrays. Diverging RSS with flat
+                    # ndarray AND jax-live bytes = leak below Python (e.g.
+                    # the device client's transfer buffers).
                     import gc
 
                     nd = sum(a.nbytes for a in gc.get_objects()
                              if isinstance(a, np.ndarray))
+                    live = jax.live_arrays()
+                    jx = sum(a.nbytes for a in live)
                     rss = [l for l in open("/proc/self/status")
                            if l.startswith("VmRSS")][0].split()[1]
                     print(f"  memdebug step {step}: rss={int(rss) / 1e6:.2f}GB "
-                          f"ndarrays={nd / 1e9:.2f}GB")
+                          f"ndarrays={nd / 1e9:.2f}GB "
+                          f"jax_live={len(live)}/{jx / 1e9:.2f}GB",
+                          flush=True)
                 scalars["fps_per_chip"] = timer.frames_per_second(
                     frames_per_step, jax.device_count()
                 )
