@@ -86,7 +86,15 @@ def build_flagship_step(large: bool = False, batch_override: int = 0,
     state = trainer.init_state(batch, fast=fast_init)
     train_step = trainer.make_train_step(donate=donate)
     sharded = shard_batch(batch, mesh)
-    rng = jax.random.PRNGKey(0)
+    # Nonce the rng per process: the axon tunnel keeps a PERSISTENT result
+    # cache keyed on input values, so a fully deterministic bench run is
+    # replayed from cache at RTT speed on its second invocation (observed:
+    # "424 f/s/chip, MFU 6.06" for the LARGE step — 25x the real number;
+    # same artifact tools/mxu_smallk_microbench.py documents). A fresh seed
+    # makes step 1's outputs unique, which uniquifies the whole chained
+    # timing loop. Shapes/dtypes are unchanged, so compile caches still hit.
+    import time
+    rng = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (state, sharded, rng))
